@@ -1,0 +1,49 @@
+import numpy as np
+import jax.numpy as jnp
+
+from ground_fusion2_tpu.core.cameras import Pinhole, Equidistant, Mei
+
+
+def make_points(rng, n=64):
+    p = rng.normal(size=(n, 3)) * np.array([0.5, 0.5, 0.0]) + np.array([0, 0, 3.0])
+    return jnp.asarray(p, dtype=jnp.float32)
+
+
+def test_pinhole_project_lift_roundtrip(rng):
+    cam = Pinhole.create(460.0, 460.0, 320.0, 240.0, k1=-0.28, k2=0.07, p1=1e-4, p2=-2e-4)
+    p = make_points(rng)
+    uv, valid = cam.project(p)
+    assert bool(valid.all())
+    ray = cam.lift(uv)
+    dirs = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
+    np.testing.assert_allclose(ray, dirs, atol=1e-4)
+
+
+def test_pinhole_no_distortion_closed_form():
+    cam = Pinhole.create(400.0, 400.0, 320.0, 240.0)
+    uv, valid = cam.project(jnp.array([1.0, -0.5, 2.0]))
+    np.testing.assert_allclose(uv, [320.0 + 200.0, 240.0 - 100.0], atol=1e-4)
+
+
+def test_equidistant_roundtrip(rng):
+    cam = Equidistant.create(350.0, 350.0, 367.0, 248.0, k2=-0.02, k3=0.002, k4=-0.001, k5=0.0002)
+    p = make_points(rng)
+    uv, valid = cam.project(p)
+    ray = cam.lift(uv)
+    dirs = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
+    np.testing.assert_allclose(ray, dirs, atol=1e-4)
+
+
+def test_mei_roundtrip(rng):
+    cam = Mei.create(1.5, 600.0, 600.0, 320.0, 240.0, k1=-0.1, k2=0.02)
+    p = make_points(rng)
+    uv, valid = cam.project(p)
+    ray = cam.lift(uv)
+    dirs = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
+    np.testing.assert_allclose(ray, dirs, atol=2e-4)
+
+
+def test_behind_camera_invalid():
+    cam = Pinhole.create(400.0, 400.0, 320.0, 240.0)
+    _, valid = cam.project(jnp.array([0.0, 0.0, -1.0]))
+    assert not bool(valid)
