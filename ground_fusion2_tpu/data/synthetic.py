@@ -1,0 +1,167 @@
+"""Synthetic ground-robot trajectory + sensor simulator (host-side numpy).
+
+The reference validates only against recorded rosbags; we add a deterministic
+simulator so every layer has a ground-truth oracle (SURVEY.md §4). Generates
+a smooth planar trajectory with yaw, perfect or noisy IMU / wheel / RGB-D
+camera / LiDAR measurements, all in the conventions of the estimator
+(world z-up, gravity −z, normalized-plane features).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+GRAVITY = np.array([0.0, 0.0, -9.81])
+
+
+def _quat_mul(q, r):
+    w1, x1, y1, z1 = q
+    w2, x2, y2, z2 = r
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+
+
+def _quat_from_yaw(yaw):
+    return np.array([np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)])
+
+
+def _quat_to_mat(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+@dataclass
+class Trajectory:
+    """Sampled ground truth at IMU rate."""
+
+    t: np.ndarray        # [N]
+    p: np.ndarray        # [N, 3]
+    q: np.ndarray        # [N, 4]
+    v: np.ndarray        # [N, 3]
+    acc_body: np.ndarray  # [N, 3] specific force (what the accelerometer reads)
+    gyr_body: np.ndarray  # [N, 3]
+
+
+def make_planar_trajectory(
+    duration: float = 20.0,
+    imu_rate: float = 200.0,
+    speed: float = 1.0,
+    yaw_rate: float = 0.3,
+    wobble: float = 0.0,
+) -> Trajectory:
+    """Arc trajectory at constant speed and yaw rate (+ optional z wobble)."""
+    n = int(duration * imu_rate) + 1
+    t = np.arange(n) / imu_rate
+    yaw = yaw_rate * t
+    if abs(yaw_rate) > 1e-9:
+        x = speed / yaw_rate * np.sin(yaw)
+        y = speed / yaw_rate * (1 - np.cos(yaw))
+    else:
+        x = speed * t
+        y = np.zeros_like(t)
+    z = wobble * np.sin(2 * np.pi * 0.2 * t)
+    p = np.stack([x, y, z], axis=-1)
+    v = np.stack([
+        speed * np.cos(yaw),
+        speed * np.sin(yaw),
+        wobble * 2 * np.pi * 0.2 * np.cos(2 * np.pi * 0.2 * t),
+    ], axis=-1)
+    a_world = np.stack([
+        -speed * yaw_rate * np.sin(yaw),
+        speed * yaw_rate * np.cos(yaw),
+        -wobble * (2 * np.pi * 0.2) ** 2 * np.sin(2 * np.pi * 0.2 * t),
+    ], axis=-1)
+    q = np.stack([_quat_from_yaw(yy) for yy in yaw])
+    acc_body = np.stack([
+        _quat_to_mat(q[i]).T @ (a_world[i] - GRAVITY) for i in range(n)
+    ])
+    gyr_body = np.tile([0.0, 0.0, yaw_rate], (n, 1))
+    return Trajectory(t, p, q, v, acc_body, gyr_body)
+
+
+@dataclass
+class Landmarks:
+    pts: np.ndarray  # [L, 3]
+
+
+def make_landmarks(
+    traj: Trajectory, n: int = 300, seed: int = 0,
+    radius: tuple[float, float] = (2.0, 12.0),
+    height: tuple[float, float] = (-1.0, 3.0),
+) -> Landmarks:
+    """Scatter landmarks in a band around the trajectory."""
+    rng = np.random.default_rng(seed)
+    center = traj.p.mean(axis=0)
+    ang = rng.uniform(0, 2 * np.pi, n)
+    rad = rng.uniform(*radius, n)
+    z = rng.uniform(*height, n)
+    pts = np.stack([
+        center[0] + rad * np.cos(ang),
+        center[1] + rad * np.sin(ang),
+        z,
+    ], axis=-1)
+    return Landmarks(pts)
+
+
+@dataclass
+class CameraSim:
+    """Ideal normalized-plane camera rigidly mounted on the IMU body."""
+
+    tic: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    # camera looks along body +x: R_ic columns = camera axes in IMU frame
+    # camera z (optical) -> body x; camera x -> body -y; camera y -> body -z
+    ric: np.ndarray = field(default_factory=lambda: np.array([
+        [0.0, 0.0, 1.0],
+        [-1.0, 0.0, 0.0],
+        [0.0, -1.0, 0.0],
+    ]))
+    fov_tan: float = 1.2      # half-FOV tangent on the normalized plane
+    min_depth: float = 0.3
+    max_depth: float = 25.0
+
+    def observe(self, p_w, q_w, landmarks: np.ndarray, noise: float = 0.0,
+                rng=None):
+        """Project landmarks. Returns (uv_norm [L,2], depth [L], valid [L])."""
+        R_wb = _quat_to_mat(q_w)
+        p_c = (landmarks - p_w) @ R_wb @ self.ric  # world -> body -> cam
+        # account for camera offset
+        if np.any(self.tic):
+            p_c = p_c - (self.tic @ self.ric)
+        z = p_c[:, 2]
+        valid = (z > self.min_depth) & (z < self.max_depth)
+        uv = np.zeros((landmarks.shape[0], 2))
+        zs = np.where(valid, z, 1.0)
+        uv[:, 0] = p_c[:, 0] / zs
+        uv[:, 1] = p_c[:, 1] / zs
+        valid &= (np.abs(uv[:, 0]) < self.fov_tan) & (np.abs(uv[:, 1]) < self.fov_tan)
+        if noise > 0 and rng is not None:
+            uv = uv + rng.normal(scale=noise, size=uv.shape)
+        return uv, z, valid
+
+
+def add_imu_noise(traj: Trajectory, rng, acc_n=0.02, gyr_n=0.002,
+                  ba=None, bg=None):
+    acc = traj.acc_body + rng.normal(scale=acc_n, size=traj.acc_body.shape)
+    gyr = traj.gyr_body + rng.normal(scale=gyr_n, size=traj.gyr_body.shape)
+    if ba is not None:
+        acc = acc + ba
+    if bg is not None:
+        gyr = gyr + bg
+    return acc, gyr
+
+
+def wheel_velocity_body(traj: Trajectory) -> np.ndarray:
+    """Perfect body-frame linear velocity (what the wheel odometer reports)."""
+    return np.stack([
+        _quat_to_mat(traj.q[i]).T @ traj.v[i] for i in range(traj.t.shape[0])
+    ])

@@ -178,9 +178,10 @@ def bias_corrected(pre: ImuPreint, ba: jax.Array, bg: jax.Array):
     dba = ba - pre.ba
     dbg = bg - pre.bg
     J = pre.jac
-    dp = pre.dp + J[..., 0:3, 9:12] @ dba + J[..., 0:3, 12:15] @ dbg
-    dv = pre.dv + J[..., 6:9, 9:12] @ dba + J[..., 6:9, 12:15] @ dbg
-    dq = lie.quat_mul(pre.dq, lie.quat_exp(J[..., 3:6, 12:15] @ dbg))
+    mv = lambda M, v: jnp.einsum("...ij,...j->...i", M, v)
+    dp = pre.dp + mv(J[..., 0:3, 9:12], dba) + mv(J[..., 0:3, 12:15], dbg)
+    dv = pre.dv + mv(J[..., 6:9, 9:12], dba) + mv(J[..., 6:9, 12:15], dbg)
+    dq = lie.quat_mul(pre.dq, lie.quat_exp(mv(J[..., 3:6, 12:15], dbg)))
     return dp, lie.quat_normalize(dq), dv
 
 

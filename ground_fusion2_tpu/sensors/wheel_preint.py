@@ -149,6 +149,8 @@ def intrinsic_corrected(pre: WheelPreint, sx, sy, sw):
     """First-order corrected (dp, dq) at new intrinsics via the accumulated
     6×3 Jacobian (reference ``evaluate`` corrected_delta_{p,q})."""
     ds = jnp.stack([sx - pre.sx, sy - pre.sy, sw - pre.sw], axis=-1)
-    dp = pre.dp + pre.jac_ix[..., 0:3, :] @ ds
-    dq = lie.quat_mul(pre.dq, lie.quat_exp(pre.jac_ix[..., 3:6, :] @ ds))
+    ds = jnp.broadcast_to(ds, (*pre.dp.shape[:-1], 3))
+    mv = lambda M, v: jnp.einsum("...ij,...j->...i", M, v)
+    dp = pre.dp + mv(pre.jac_ix[..., 0:3, :], ds)
+    dq = lie.quat_mul(pre.dq, lie.quat_exp(mv(pre.jac_ix[..., 3:6, :], ds)))
     return dp, lie.quat_normalize(dq)

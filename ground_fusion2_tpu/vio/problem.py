@@ -1,0 +1,193 @@
+"""Window optimization problem: compose factors → one LM solve → marg prior.
+
+This is the TPU equivalent of the reference's ``Estimator::optimization``
+(``estimator.cpp:2951-3698``): build every factor's residuals over the
+current window, run damped Gauss-Newton in the fixed tangent layout, then
+Schur-marginalize the oldest frame into the dense prior. The whole thing is
+one jitted function of fixed-shape arrays; all gating (wheel anomaly,
+stationary freeze, GNSS low-speed, depth-frozen landmarks) enters as {0,1}
+masks, never as Python control flow.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..factors import vio_factors as fac
+from ..sensors.imu_preint import ImuPreint
+from ..sensors.wheel_preint import WheelPreint
+from ..solver.gauss_newton import lm_solve, normal_equations
+from ..solver.marginalize import MargPrior, marginalize, shift_prior
+from .state import NUM_FRAMES, WindowLayout, WindowState
+
+
+class VioConfig(NamedTuple):
+    num_feats: int = 150              # reference max_cnt (m3dgr.yaml:100)
+    proj_sqrt_info: float = 460.0 / 1.5  # FOCAL/1.5 (reference sqrt_info)
+    huber_delta: float = 1.0
+    max_iters: int = 8                # reference NUM_ITERATIONS
+    use_wheel: bool = False
+    use_plane: bool = False
+    plane_weight: float = 10.0
+    estimate_extrinsic: bool = False
+    estimate_td: bool = False
+    g_norm: float = 9.81
+
+
+class VioMeasurements(NamedTuple):
+    """Everything the window solve consumes, fixed shapes."""
+
+    feats: fac.FeatureTable
+    imu: ImuPreint           # batched [W-1]
+    imu_valid: jax.Array     # [W-1]
+    imu_sqrt_info: jax.Array  # [W-1, 15, 15]
+    wheel: WheelPreint       # batched [W-1]
+    wheel_valid: jax.Array   # [W-1] (gated by anomaly detector)
+    wheel_sqrt_info: jax.Array  # [W-1, 6, 6]
+    plane_valid: jax.Array   # [] scalar gate
+    stationary: jax.Array    # [] scalar: freeze whole window
+    prior: MargPrior         # over frame dims (layout.frame_dim)
+    prior_state: WindowState  # linearization snapshot for the prior
+
+
+def build_residual_fn(
+    x0: WindowState,
+    meas: VioMeasurements,
+    layout: WindowLayout,
+    cfg: VioConfig,
+):
+    g_world = jnp.asarray([0.0, 0.0, -cfg.g_norm], x0.p.dtype)
+
+    def residual_fn(delta):
+        x = layout.retract(x0, delta)
+        r_proj, w_proj = fac.projection_residuals(
+            x, meas.feats, cfg.proj_sqrt_info, cfg.huber_delta)
+        r_imu, w_imu = fac.imu_residuals(
+            x, meas.imu, meas.imu_sqrt_info, g_world, meas.imu_valid)
+        parts_r = [r_proj.reshape(-1), r_imu.reshape(-1)]
+        parts_w = [w_proj.reshape(-1), w_imu.reshape(-1)]
+
+        if cfg.use_wheel:
+            r_whl, w_whl = fac.wheel_residuals(
+                x, meas.wheel, meas.wheel_sqrt_info, meas.wheel_valid)
+            parts_r.append(r_whl.reshape(-1))
+            parts_w.append(w_whl.reshape(-1))
+        if cfg.use_plane:
+            r_pl, w_pl = fac.plane_residuals(
+                x, cfg.plane_weight, meas.plane_valid)
+            parts_r.append(r_pl.reshape(-1))
+            parts_w.append(w_pl.reshape(-1))
+
+        # marginalization prior over frame dims
+        dx_frames = layout.boxminus_frames(x, meas.prior_state)
+        r_pr, w_pr = meas.prior.residual(dx_frames)
+        parts_r.append(r_pr)
+        parts_w.append(w_pr)
+
+        return jnp.concatenate(parts_r), jnp.concatenate(parts_w)
+
+    return residual_fn
+
+
+class SolveResult(NamedTuple):
+    state: WindowState
+    cost: jax.Array
+    cost0: jax.Array
+    H: jax.Array
+    g: jax.Array
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def solve_window(
+    x0: WindowState,
+    meas: VioMeasurements,
+    layout: WindowLayout,
+    cfg: VioConfig,
+) -> SolveResult:
+    """One full window optimization (the per-frame solve)."""
+    residual_fn = build_residual_fn(x0, meas, layout, cfg)
+
+    landmark_mask = (
+        meas.feats.track_valid
+        * (1.0 - meas.feats.depth_fixed)
+        * (jnp.sum(meas.feats.obs_valid, axis=1) >= 2)
+    )
+    # stationary ⇒ freeze all frame poses/speedbias (reference
+    # estimator.cpp:3294-3324); always gauge-fix frame 0 unless prior holds it
+    frame_mask = jnp.where(
+        meas.stationary > 0,
+        jnp.zeros((layout.W,), x0.p.dtype),
+        jnp.ones((layout.W,), x0.p.dtype),
+    )
+    free = layout.free_mask(
+        fix_extrinsic=not cfg.estimate_extrinsic,
+        fix_td=not cfg.estimate_td,
+        fix_wheel=True,
+        landmark_mask=landmark_mask,
+        frame_mask=frame_mask,
+        fix_first_pose=False,
+    )
+    # gauge: if no prior yet, pin frame-0 pose
+    pose0 = jnp.zeros_like(free).at[layout.pose_off:layout.pose_off + 6].set(1.0)
+    free = jnp.where(meas.prior.valid > 0, free, free * (1.0 - pose0))
+
+    out = lm_solve(residual_fn, layout.dim, cfg.max_iters, free_mask=free)
+    x_new = layout.retract(x0, out.delta)
+    return SolveResult(x_new, out.cost, out.cost0, out.H, out.g)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def marginalize_oldest(
+    x: WindowState,
+    meas: VioMeasurements,
+    layout: WindowLayout,
+    cfg: VioConfig,
+) -> MargPrior:
+    """Build the next window's prior by marginalizing frame 0 (MARGIN_OLD).
+
+    Relinearizes the factors that touch frame 0 at the solved state (the
+    reference marginalizes the same subset, ``estimator.cpp:3394-3697``),
+    eliminates landmarks anchored at frame 0 and frame 0's pose/speedbias,
+    and returns the shifted prior over the new layout.
+    """
+    # Only factors touching frame 0 should enter: mask observations so the
+    # projection block keeps features anchored at frame 0, plus IMU/wheel
+    # factor 0, plus the current prior.
+    feats0 = meas.feats._replace(
+        track_valid=meas.feats.track_valid
+        * (meas.feats.anchor == 0).astype(meas.feats.track_valid.dtype))
+    imu_valid0 = meas.imu_valid * jnp.asarray(
+        [1.0] + [0.0] * (layout.W - 2), meas.imu_valid.dtype)
+    wheel_valid0 = meas.wheel_valid * jnp.asarray(
+        [1.0] + [0.0] * (layout.W - 2), meas.wheel_valid.dtype)
+    meas0 = meas._replace(
+        feats=feats0, imu_valid=imu_valid0, wheel_valid=wheel_valid0)
+
+    residual_fn = build_residual_fn(x, meas0, layout, cfg)
+    H, g, _ = normal_equations(residual_fn, jnp.zeros((layout.dim,), x.p.dtype))
+
+    # drop: frame-0 pose+speedbias and ALL landmark dims (features anchored
+    # elsewhere have zero rows here, so dropping them is a no-op but keeps
+    # the prior's support static).
+    drop = np.concatenate([
+        layout.frame0_drop_indices(),
+        np.arange(layout.rho_off, layout.rho_off + layout.F),
+    ])
+    keep = layout.frame_keep_indices()
+    prior = marginalize(H, g, keep, drop)
+    # shift frame k → k-1 in the next window's layout; prior dims are the
+    # frame dims only
+    old_to_new = _keep_to_frame_positions(layout)
+    return shift_prior(prior, old_to_new, layout.frame_dim)
+
+
+def _keep_to_frame_positions(layout: WindowLayout) -> np.ndarray:
+    """Map each kept dim (frame_keep_indices order) to its post-slide
+    position inside the frame-dim block [0, frame_dim)."""
+    shifted = layout.shift_map_after_marg_old()
+    return shifted  # already expressed as absolute positions < frame_dim

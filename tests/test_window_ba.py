@@ -1,0 +1,197 @@
+"""Synthetic sliding-window BA: perturb ground truth, solve, recover."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ground_fusion2_tpu.core import lie
+from ground_fusion2_tpu.data import synthetic as sim
+from ground_fusion2_tpu.factors.vio_factors import FeatureTable, imu_sqrt_info
+from ground_fusion2_tpu.sensors.imu_preint import ImuNoise, preintegrate
+from ground_fusion2_tpu.sensors.wheel_preint import WheelNoise, preintegrate_wheel
+from ground_fusion2_tpu.solver.marginalize import MargPrior
+from ground_fusion2_tpu.vio.problem import (
+    VioConfig, VioMeasurements, marginalize_oldest, solve_window,
+)
+from ground_fusion2_tpu.vio.state import NUM_FRAMES, WindowLayout, WindowState
+
+F_SLOTS = 64
+KF_DT = 0.4
+IMU_RATE = 200.0
+SPP = int(KF_DT * IMU_RATE)  # imu samples per keyframe interval
+
+
+def build_window(seed=0, perturb=True, pix_noise=0.0, imu_noise=False):
+    rng = np.random.default_rng(seed)
+    traj = sim.make_planar_trajectory(duration=10.0, yaw_rate=0.4, wobble=0.05)
+    lms = sim.make_landmarks(traj, n=400, seed=seed)
+    cam = sim.CameraSim()
+
+    W = NUM_FRAMES
+    kf_idx = [int(i * SPP) for i in range(W)]
+
+    # --- camera observations -> feature table -------------------------
+    obs_uv = np.zeros((W, lms.pts.shape[0], 2))
+    obs_z = np.zeros((W, lms.pts.shape[0]))
+    obs_ok = np.zeros((W, lms.pts.shape[0]), dtype=bool)
+    for k, i in enumerate(kf_idx):
+        uv, z, ok = cam.observe(traj.p[i], traj.q[i], lms.pts,
+                                noise=pix_noise, rng=rng)
+        obs_uv[k], obs_z[k], obs_ok[k] = uv, z, ok
+
+    n_obs = obs_ok.sum(axis=0)
+    good = np.where(n_obs >= 4)[0]
+    rng.shuffle(good)
+    chosen = good[:F_SLOTS]
+
+    ray = np.zeros((F_SLOTS, W, 2), np.float32)
+    vel = np.zeros((F_SLOTS, W, 2), np.float32)
+    ovalid = np.zeros((F_SLOTS, W), np.float32)
+    anchor = np.zeros((F_SLOTS,), np.int32)
+    tvalid = np.zeros((F_SLOTS,), np.float32)
+    dfixed = np.zeros((F_SLOTS,), np.float32)
+    rho_true = np.full((F_SLOTS,), 0.2, np.float32)
+    for s, li in enumerate(chosen):
+        frames = np.where(obs_ok[:, li])[0]
+        anchor[s] = frames[0]
+        tvalid[s] = 1.0
+        ray[s, frames] = obs_uv[frames, li]
+        ovalid[s, frames] = 1.0
+        rho_true[s] = 1.0 / obs_z[frames[0], li]
+
+    feats = FeatureTable(
+        ray=jnp.asarray(ray), vel=jnp.asarray(vel),
+        obs_valid=jnp.asarray(ovalid), anchor=jnp.asarray(anchor),
+        track_valid=jnp.asarray(tvalid), depth_fixed=jnp.asarray(dfixed),
+    )
+
+    # --- IMU preintegration per interval ------------------------------
+    if imu_noise:
+        acc, gyr = sim.add_imu_noise(traj, rng)
+    else:
+        acc, gyr = traj.acc_body, traj.gyr_body
+    accs = np.stack([acc[kf_idx[k]:kf_idx[k] + SPP + 1] for k in range(W - 1)])
+    gyrs = np.stack([gyr[kf_idx[k]:kf_idx[k] + SPP + 1] for k in range(W - 1)])
+    dts = np.full((W - 1, SPP), 1.0 / IMU_RATE, np.float32)
+    z3 = jnp.zeros((W - 1, 3), jnp.float32)
+    pre = jax.vmap(lambda a, g, d, ba, bg: preintegrate(
+        a, g, d, ba, bg, ImuNoise(acc_n=0.05, gyr_n=0.005)))(
+        jnp.asarray(accs, jnp.float32), jnp.asarray(gyrs, jnp.float32),
+        jnp.asarray(dts), z3, z3)
+    sinfo = imu_sqrt_info(pre.cov)
+
+    # --- wheel preintegration (perfect) -------------------------------
+    wvel = sim.wheel_velocity_body(traj)
+    wvels = np.stack([wvel[kf_idx[k]:kf_idx[k] + SPP + 1] for k in range(W - 1)])
+    wpre = jax.vmap(lambda v, g, d: preintegrate_wheel(
+        v, g, d, 1.0, 1.0, 1.0, WheelNoise(vel_n=0.05, gyr_n=0.005)))(
+        jnp.asarray(wvels, jnp.float32), jnp.asarray(gyrs, jnp.float32),
+        jnp.asarray(dts))
+    wsinfo = imu_sqrt_info(wpre.cov)
+
+    # --- states --------------------------------------------------------
+    p_t = traj.p[kf_idx].astype(np.float32)
+    q_t = traj.q[kf_idx].astype(np.float32)
+    v_t = traj.v[kf_idx].astype(np.float32)
+    x_true = WindowState.identity(F_SLOTS)._replace(
+        p=jnp.asarray(p_t), q=jnp.asarray(q_t), v=jnp.asarray(v_t),
+        qic=jnp.asarray(lie.mat_to_quat(jnp.asarray(cam.ric, jnp.float32))),
+        tic=jnp.asarray(cam.tic, jnp.float32),
+        rho=jnp.asarray(rho_true),
+    )
+    if perturb:
+        x0 = x_true._replace(
+            p=x_true.p + jnp.asarray(rng.normal(scale=0.05, size=(W, 3)), jnp.float32),
+            q=lie.quat_boxplus(x_true.q, jnp.asarray(
+                rng.normal(scale=0.02, size=(W, 3)), jnp.float32)),
+            v=x_true.v + jnp.asarray(rng.normal(scale=0.05, size=(W, 3)), jnp.float32),
+            rho=x_true.rho * jnp.asarray(
+                1.0 + rng.normal(scale=0.1, size=(F_SLOTS,)), jnp.float32),
+        )
+        # keep frame-0 pose at truth: it is the gauge anchor
+        x0 = x0._replace(p=x0.p.at[0].set(x_true.p[0]),
+                         q=x0.q.at[0].set(x_true.q[0]))
+    else:
+        x0 = x_true
+
+    layout = WindowLayout(F_SLOTS)
+    meas = VioMeasurements(
+        feats=feats,
+        imu=pre, imu_valid=jnp.ones((W - 1,), jnp.float32), imu_sqrt_info=sinfo,
+        wheel=wpre, wheel_valid=jnp.ones((W - 1,), jnp.float32),
+        wheel_sqrt_info=wsinfo,
+        plane_valid=jnp.zeros(()), stationary=jnp.zeros(()),
+        prior=MargPrior.empty(layout.frame_dim),
+        prior_state=x0,
+    )
+    return x_true, x0, meas, layout
+
+
+def test_window_ba_recovers_truth():
+    x_true, x0, meas, layout = build_window(perturb=True)
+    cfg = VioConfig(num_feats=F_SLOTS)
+    out = solve_window(x0, meas, layout, cfg)
+    assert out.cost < 1e-3 * out.cost0, (out.cost0, out.cost)
+    p_err = np.linalg.norm(np.asarray(out.state.p - x_true.p), axis=-1)
+    assert p_err.max() < 0.01, p_err
+    th_err = np.linalg.norm(
+        np.asarray(lie.quat_boxminus(out.state.q, x_true.q)), axis=-1)
+    assert th_err.max() < 0.005, th_err
+    v_err = np.linalg.norm(np.asarray(out.state.v - x_true.v), axis=-1)
+    assert v_err.max() < 0.02, v_err
+
+
+def test_window_ba_at_truth_stays():
+    x_true, x0, meas, layout = build_window(perturb=False)
+    cfg = VioConfig(num_feats=F_SLOTS)
+    out = solve_window(x0, meas, layout, cfg)
+    p_drift = np.linalg.norm(np.asarray(out.state.p - x_true.p), axis=-1)
+    assert p_drift.max() < 2e-3
+
+
+def test_window_ba_with_wheel_factor():
+    x_true, x0, meas, layout = build_window(perturb=True)
+    cfg = VioConfig(num_feats=F_SLOTS, use_wheel=True)
+    out = solve_window(x0, meas, layout, cfg)
+    p_err = np.linalg.norm(np.asarray(out.state.p - x_true.p), axis=-1)
+    assert p_err.max() < 0.02, p_err
+
+
+def test_window_ba_noisy_measurements():
+    x_true, x0, meas, layout = build_window(perturb=True, pix_noise=1.5 / 460.0,
+                                            imu_noise=True)
+    cfg = VioConfig(num_feats=F_SLOTS)
+    out = solve_window(x0, meas, layout, cfg)
+    p_err = np.linalg.norm(np.asarray(out.state.p - x_true.p), axis=-1)
+    assert p_err.max() < 0.15, p_err
+
+
+def test_stationary_freeze_keeps_states():
+    x_true, x0, meas, layout = build_window(perturb=True)
+    meas = meas._replace(stationary=jnp.ones(()))
+    cfg = VioConfig(num_feats=F_SLOTS)
+    out = solve_window(x0, meas, layout, cfg)
+    np.testing.assert_allclose(np.asarray(out.state.p), np.asarray(x0.p), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.state.v), np.asarray(x0.v), atol=1e-6)
+
+
+def test_marginalization_prior_constrains():
+    x_true, x0, meas, layout = build_window(perturb=True)
+    cfg = VioConfig(num_feats=F_SLOTS)
+    out = solve_window(x0, meas, layout, cfg)
+    prior = marginalize_oldest(out.state, meas, layout, cfg)
+    assert bool(prior.valid > 0)
+    assert bool(jnp.all(jnp.isfinite(prior.sqrt_J)))
+    # prior must penalize moving the (shifted) kept frames away from the
+    # solved linearization point
+    x_lin = out.state
+    dx0 = layout.boxminus_frames(x_lin, x_lin)
+    r0, w0 = prior.residual(dx0)
+    x_moved = x_lin._replace(p=x_lin.p + 0.05)
+    # frame k of the next window corresponds to old frame k+1... evaluating
+    # at the same layout: moving all positions must raise the prior cost
+    dx1 = layout.boxminus_frames(x_moved, x_lin)
+    r1, w1 = prior.residual(dx1)
+    c0 = float(jnp.sum((r0 * w0) ** 2))
+    c1 = float(jnp.sum((r1 * w1) ** 2))
+    assert c1 > c0 + 1e-3, (c0, c1)
