@@ -58,34 +58,40 @@ def make_planar_trajectory(
     speed: float = 1.0,
     yaw_rate: float = 0.3,
     wobble: float = 0.0,
+    static_time: float = 0.0,
+    ramp_time: float = 1.0,
 ) -> Trajectory:
-    """Arc trajectory at constant speed and yaw rate (+ optional z wobble)."""
+    """Planar trajectory with an optional static prefix and smooth speed ramp.
+
+    Profile: stationary for ``static_time``, cosine speed ramp over
+    ``ramp_time``, then constant speed/yaw-rate arc (+ optional z wobble).
+    Positions/velocities are integrated at IMU rate; IMU samples are derived
+    consistently via the analytic orientation and numeric acceleration.
+    """
     n = int(duration * imu_rate) + 1
-    t = np.arange(n) / imu_rate
-    yaw = yaw_rate * t
-    if abs(yaw_rate) > 1e-9:
-        x = speed / yaw_rate * np.sin(yaw)
-        y = speed / yaw_rate * (1 - np.cos(yaw))
-    else:
-        x = speed * t
-        y = np.zeros_like(t)
-    z = wobble * np.sin(2 * np.pi * 0.2 * t)
-    p = np.stack([x, y, z], axis=-1)
-    v = np.stack([
-        speed * np.cos(yaw),
-        speed * np.sin(yaw),
-        wobble * 2 * np.pi * 0.2 * np.cos(2 * np.pi * 0.2 * t),
-    ], axis=-1)
-    a_world = np.stack([
-        -speed * yaw_rate * np.sin(yaw),
-        speed * yaw_rate * np.cos(yaw),
-        -wobble * (2 * np.pi * 0.2) ** 2 * np.sin(2 * np.pi * 0.2 * t),
-    ], axis=-1)
+    dt = 1.0 / imu_rate
+    t = np.arange(n) * dt
+
+    def ramp(tt):
+        s = np.clip((tt - static_time) / max(ramp_time, 1e-6), 0.0, 1.0)
+        return 0.5 * (1.0 - np.cos(np.pi * s))
+
+    s_prof = speed * ramp(t)
+    w_prof = yaw_rate * ramp(t)
+    yaw = np.concatenate([[0.0], np.cumsum(0.5 * (w_prof[1:] + w_prof[:-1]) * dt)])
+    moving = ramp(t)
+    zf = 0.2
+    vz = wobble * 2 * np.pi * zf * np.cos(2 * np.pi * zf * t) * moving
+    v = np.stack([s_prof * np.cos(yaw), s_prof * np.sin(yaw), vz], axis=-1)
+    p = np.concatenate(
+        [np.zeros((1, 3)), np.cumsum(0.5 * (v[1:] + v[:-1]) * dt, axis=0)])
+    a_world = np.gradient(v, dt, axis=0)
     q = np.stack([_quat_from_yaw(yy) for yy in yaw])
     acc_body = np.stack([
         _quat_to_mat(q[i]).T @ (a_world[i] - GRAVITY) for i in range(n)
     ])
-    gyr_body = np.tile([0.0, 0.0, yaw_rate], (n, 1))
+    gyr_body = np.stack(
+        [np.zeros(n), np.zeros(n), w_prof], axis=-1)
     return Trajectory(t, p, q, v, acc_body, gyr_body)
 
 
@@ -165,3 +171,73 @@ def wheel_velocity_body(traj: Trajectory) -> np.ndarray:
     return np.stack([
         _quat_to_mat(traj.q[i]).T @ traj.v[i] for i in range(traj.t.shape[0])
     ])
+
+
+class SimTracker:
+    """Slot-based feature tracker simulator: persistent slots tracking
+    landmarks while visible, refilled with new landmarks on loss — emits
+    exactly what the real KLT frontend emits (FrameObs-aligned arrays)."""
+
+    def __init__(self, num_slots: int, landmarks: np.ndarray,
+                 cam: "CameraSim", pix_noise: float = 0.0,
+                 depth_noise: float = 0.0, depth_prob: float = 1.0,
+                 max_depth_meas: float = 7.0, seed: int = 0):
+        self.F = num_slots
+        self.lms = landmarks
+        self.cam = cam
+        self.pix_noise = pix_noise
+        self.depth_noise = depth_noise
+        self.depth_prob = depth_prob
+        self.max_depth_meas = max_depth_meas
+        self.rng = np.random.default_rng(seed)
+        self.slot_lm = np.full(num_slots, -1, np.int64)  # landmark id per slot
+        self.prev_uv = np.zeros((num_slots, 2), np.float32)
+        self.prev_t = None
+
+    def track(self, t: float, p_w: np.ndarray, q_w: np.ndarray):
+        uv_all, z_all, ok_all = self.cam.observe(
+            p_w, q_w, self.lms, noise=self.pix_noise, rng=self.rng)
+
+        F = self.F
+        ray = np.zeros((F, 2), np.float32)
+        vel = np.zeros((F, 2), np.float32)
+        depth = np.zeros((F,), np.float32)
+        alive = np.zeros((F,), np.float32)
+        fresh = np.zeros((F,), np.float32)
+
+        # continue existing tracks
+        for s in range(F):
+            li = self.slot_lm[s]
+            if li >= 0 and ok_all[li]:
+                ray[s] = uv_all[li]
+                alive[s] = 1.0
+                if self.prev_t is not None and t > self.prev_t:
+                    vel[s] = (uv_all[li] - self.prev_uv[s]) / (t - self.prev_t)
+            else:
+                self.slot_lm[s] = -1
+
+        # refill free slots with unclaimed visible landmarks
+        used = set(self.slot_lm[self.slot_lm >= 0].tolist())
+        candidates = [i for i in np.where(ok_all)[0] if i not in used]
+        self.rng.shuffle(candidates)
+        ci = 0
+        for s in range(F):
+            if self.slot_lm[s] < 0 and ci < len(candidates):
+                li = candidates[ci]; ci += 1
+                self.slot_lm[s] = li
+                ray[s] = uv_all[li]
+                alive[s] = 1.0
+                fresh[s] = 1.0
+
+        # RGB-D depth measurement for valid observations
+        for s in range(F):
+            li = self.slot_lm[s]
+            if li >= 0 and alive[s] > 0:
+                z = z_all[li]
+                if z < self.max_depth_meas and self.rng.uniform() < self.depth_prob:
+                    depth[s] = z + (self.rng.normal(scale=self.depth_noise * z)
+                                    if self.depth_noise > 0 else 0.0)
+
+        self.prev_uv = ray.copy()
+        self.prev_t = t
+        return ray, vel, depth, alive, fresh

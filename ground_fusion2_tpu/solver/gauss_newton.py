@@ -70,9 +70,13 @@ def _solve_damped(H, g, lam, free_mask):
     diag = jnp.diagonal(Hm)
     damped = Hm + jnp.diag(lam * jnp.maximum(diag, 1e-8) + (1.0 - fm))
     gm = g * fm
-    # Cholesky with jitter fallback handled by the damping itself
-    L = jax.scipy.linalg.cho_factor(damped, lower=True)
-    dx = -jax.scipy.linalg.cho_solve(L, gm)
+    # Jacobi equilibration: keeps the f32 Cholesky stable when information
+    # spans many orders of magnitude (bias-walk vs pose dims)
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(damped), 1e-12))
+    d_inv = 1.0 / d
+    Hs = damped * d_inv[:, None] * d_inv[None, :]
+    L = jax.scipy.linalg.cho_factor(Hs, lower=True)
+    dx = -d_inv * jax.scipy.linalg.cho_solve(L, gm * d_inv)
     return dx * fm
 
 

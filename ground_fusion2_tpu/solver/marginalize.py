@@ -79,21 +79,31 @@ def marginalize(
     Hkd = Hp[:k, k:]
     Hdd = Hp[k:, k:]
     nd = Hdd.shape[0]
-    # eigen-pseudo-inverse of the dropped block (reference uses the same
-    # eigendecomposition trick for robustness to unobservable dims)
-    wd, Vd = jnp.linalg.eigh(Hdd + jnp.eye(nd, dtype=H.dtype) * 0.0)
-    inv_wd = jnp.where(wd > eig_floor, 1.0 / jnp.maximum(wd, eig_floor), 0.0)
-    Hdd_inv = (Vd * inv_wd[None, :]) @ Vd.T
+    # Jacobi equilibration: information spans ~1e8 (bias-walk vs pose dims);
+    # f32 eigh has absolute error ~ ||H||*eps, which destroys the soft
+    # directions unless each dim is scaled to unit diagonal first.
+    dd = jnp.sqrt(jnp.maximum(jnp.diagonal(Hdd), eig_floor))
+    Dd_inv = 1.0 / dd
+    Hdd_s = Hdd * Dd_inv[:, None] * Dd_inv[None, :]
+    wd, Vd = jnp.linalg.eigh(0.5 * (Hdd_s + Hdd_s.T))
+    inv_wd = jnp.where(wd > 1e-6, 1.0 / jnp.maximum(wd, 1e-6), 0.0)
+    # Hdd^+ = D^-1 (V S^+ V^T) D^-1
+    Hdd_inv = (Dd_inv[:, None] * (Vd * inv_wd[None, :]) @ Vd.T) * Dd_inv[None, :]
 
     Hs = Hkk - Hkd @ Hdd_inv @ Hkd.T
     gs = gp[:k] - Hkd @ (Hdd_inv @ gp[k:])
 
-    w, V = jnp.linalg.eigh(0.5 * (Hs + Hs.T))
+    Hs = 0.5 * (Hs + Hs.T)
+    dk = jnp.sqrt(jnp.maximum(jnp.diagonal(Hs), eig_floor))
+    Dk_inv = 1.0 / dk
+    Hs_s = Hs * Dk_inv[:, None] * Dk_inv[None, :]
+    w, V = jnp.linalg.eigh(Hs_s)
     w_pos = jnp.maximum(w, 0.0)
     s = jnp.sqrt(w_pos)
-    s_inv = jnp.where(w > eig_floor, 1.0 / jnp.maximum(s, np.sqrt(eig_floor)), 0.0)
-    sqrt_J = s[:, None] * V.T
-    r0 = s_inv * (V.T @ gs)
+    s_inv = jnp.where(w > 1e-6, 1.0 / jnp.maximum(s, 1e-3), 0.0)
+    # H* = D (V S V^T) D  =>  sqrt_J = sqrt(S) V^T D ;  r0 solves J^T r0 = g*
+    sqrt_J = s[:, None] * (V.T * dk[None, :])
+    r0 = s_inv * (V.T @ (Dk_inv * gs))
     return MargPrior(sqrt_J, r0, jnp.ones((), H.dtype))
 
 

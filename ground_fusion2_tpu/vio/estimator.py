@@ -1,0 +1,432 @@
+"""Streaming sliding-window VIO estimator.
+
+The TPU counterpart of the reference's ``Estimator`` class + measurement
+thread (``estimator.cpp:554-763, 896-1216``): a thin host-side sequencer
+around jitted fixed-shape steps —
+
+  tick(frame) =
+    add_frame → re-preintegrate intervals (current biases) → triangulate →
+    solve_window → degradation detectors → keyframe test → marginalize+slide
+
+Raw IMU/wheel samples live in fixed-capacity host ring buffers per window
+interval (re-preintegrated on device each tick at the current bias estimate,
+which subsumes the reference's repropagate-on-slide). All decisions
+(keyframe, anomaly, stationary) are computed on device and read back as
+scalars once per tick — the only host↔device traffic is the frame's
+observations in and one pose out.
+
+Initialization: static bootstrap (gravity/bias from the first interval's
+samples — the reference's IMU-excitation / SfM init path is only needed for
+in-motion starts; M3DGR/M2DGR-plus sequences start stationary, and RGB-D
+depth removes the scale ambiguity that SfM init exists to resolve). An
+excitation check still gates the bootstrap (reference
+``estimator.cpp:1641-1654``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from ..factors.vio_factors import imu_sqrt_info
+from ..sensors.imu_preint import ImuNoise, preintegrate, propagate_state
+from ..sensors.wheel_preint import WheelNoise, preintegrate_wheel
+from ..solver.marginalize import MargPrior, marginalize, shift_prior
+from . import feature_window as fwin
+from .problem import VioConfig, VioMeasurements, marginalize_oldest, solve_window
+from .problem import build_residual_fn
+from ..solver.gauss_newton import normal_equations
+from .state import NUM_FRAMES, WindowLayout, WindowState
+
+MAX_IMU_PER_INTERVAL = 128   # ≥ 200 Hz * 0.5 s frame spacing
+
+
+@dataclass
+class EstimatorConfig:
+    num_feats: int = 96
+    vio: VioConfig = None
+    imu_noise: ImuNoise = field(default_factory=ImuNoise)
+    wheel_noise: WheelNoise = field(default_factory=WheelNoise)
+    min_parallax: float = 10.0 / 460.0   # reference keyframe_parallax
+    min_tracked: int = 20
+    wheel_anomaly_thresh: float = 0.02   # reference estimator.cpp:685
+    static_acc_var: float = 0.35         # excitation gate (reference :1641)
+    stationary_dp: float = 0.01          # stationary detectors
+    stationary_parallax: float = 0.5 / 460.0
+    use_wheel: bool = False
+    g_norm: float = 9.81
+
+    def __post_init__(self):
+        if self.vio is None:
+            self.vio = VioConfig(num_feats=self.num_feats,
+                                 use_wheel=self.use_wheel,
+                                 g_norm=self.g_norm)
+
+
+class VioOutput(NamedTuple):
+    t: float
+    p: np.ndarray
+    q: np.ndarray
+    v: np.ndarray
+    initialized: bool
+    is_keyframe: bool
+    stationary: bool
+    wheel_anomaly: bool
+    tracked: int
+    cost: float
+
+
+class _IntervalBuffers:
+    """Host ring of raw samples for the W-1 window intervals."""
+
+    def __init__(self, n_int: int):
+        m = MAX_IMU_PER_INTERVAL
+        self.acc = np.zeros((n_int, m + 1, 3), np.float32)
+        self.gyr = np.zeros((n_int, m + 1, 3), np.float32)
+        self.wvel = np.zeros((n_int, m + 1, 3), np.float32)
+        self.dt = np.zeros((n_int, m), np.float32)
+        self.mask = np.zeros((n_int, m), np.float32)
+
+    def set_interval(self, k, acc, gyr, wvel, dts):
+        """acc/gyr/wvel: [n+1, 3] samples (endpoints included), dts: [n]."""
+        m = MAX_IMU_PER_INTERVAL
+        n = min(len(dts), m)
+        for buf in (self.acc, self.gyr, self.wvel):
+            buf[k] = 0.0
+        self.dt[k] = 0.0
+        self.mask[k] = 0.0
+        self.acc[k, : n + 1] = acc[: n + 1]
+        self.gyr[k, : n + 1] = gyr[: n + 1]
+        self.wvel[k, : n + 1] = wvel[: n + 1]
+        # keep endpoint samples persistent beyond n for the scan's [1:] view
+        self.acc[k, n + 1:] = acc[n]
+        self.gyr[k, n + 1:] = gyr[n]
+        self.wvel[k, n + 1:] = wvel[n]
+        self.dt[k, :n] = dts[:n]
+        self.mask[k, :n] = 1.0
+
+    def shift_left(self):
+        for buf in (self.acc, self.gyr, self.wvel, self.dt, self.mask):
+            buf[:-1] = buf[1:]
+            buf[-1] = 0.0
+
+    def merge_last_two(self):
+        """SECOND_NEW slide: concat intervals [-2] and [-1] into [-2]."""
+        m = MAX_IMU_PER_INTERVAL
+        n0 = int(self.mask[-2].sum())
+        n1 = int(self.mask[-1].sum())
+        n = min(n0 + n1, m)
+        acc = np.concatenate([self.acc[-2, : n0 + 1], self.acc[-1, 1: n1 + 1]])
+        gyr = np.concatenate([self.gyr[-2, : n0 + 1], self.gyr[-1, 1: n1 + 1]])
+        wvl = np.concatenate([self.wvel[-2, : n0 + 1], self.wvel[-1, 1: n1 + 1]])
+        dts = np.concatenate([self.dt[-2, :n0], self.dt[-1, :n1]])
+        if n0 + n1 > m:  # overflow: drop oldest samples (rare)
+            ofs = n0 + n1 - m
+            acc, gyr, wvl, dts = acc[ofs:], gyr[ofs:], wvl[ofs:], dts[ofs:]
+        self.set_interval(-2, acc, gyr, wvl, dts)
+        for buf in (self.acc, self.gyr, self.wvel):
+            buf[-1] = 0.0
+        self.dt[-1] = 0.0
+        self.mask[-1] = 0.0
+
+
+@jax.jit
+def _preintegrate_all(acc, gyr, wvel, dt, mask, ba, bg, six, siy, siw,
+                      imu_noise: ImuNoise, wheel_noise: WheelNoise):
+    """Re-preintegrate every window interval at the current biases."""
+    pre = jax.vmap(lambda a, g, d, m, b1, b2: preintegrate(
+        a, g, d, b1, b2, imu_noise, mask=m))(acc, gyr, dt, mask, ba, bg)
+    wpre = jax.vmap(lambda v, g, d, m: preintegrate_wheel(
+        v, g, d, six, siy, siw, wheel_noise, mask=m))(wvel, gyr, dt, mask)
+    return pre, wpre, imu_sqrt_info(pre.cov), imu_sqrt_info(wpre.cov)
+
+
+@jax.jit
+def _shift_state_left(x: WindowState) -> WindowState:
+    def sh(a):
+        return jnp.concatenate([a[1:], a[-1:]], axis=0)
+    return x._replace(p=sh(x.p), q=sh(x.q), v=sh(x.v), ba=sh(x.ba), bg=sh(x.bg))
+
+
+@jax.jit
+def _drop_second_newest(x: WindowState) -> WindowState:
+    def mv(a):
+        return a.at[-2].set(a[-1])
+    return x._replace(p=mv(x.p), q=mv(x.q), v=mv(x.v), ba=mv(x.ba), bg=mv(x.bg))
+
+
+class VioEstimator:
+    def __init__(self, cfg: EstimatorConfig, tic=None, ric=None):
+        self.cfg = cfg
+        F = cfg.num_feats
+        self.layout = WindowLayout(F)
+        self.state = WindowState.identity(F)
+        if tic is not None:
+            self.state = self.state._replace(tic=jnp.asarray(tic, jnp.float32))
+        if ric is not None:
+            q = lie.mat_to_quat(jnp.asarray(ric, jnp.float32))
+            self.state = self.state._replace(qic=q)
+        self.fw = fwin.FeatureWindow.empty(F)
+        self.rho_init = jnp.zeros((F,), jnp.float32)
+        self.bufs = _IntervalBuffers(NUM_FRAMES - 1)
+        self.imu_valid = np.zeros((NUM_FRAMES - 1,), np.float32)
+        self.wheel_valid = np.zeros((NUM_FRAMES - 1,), np.float32)
+        self.prior = MargPrior.empty(self.layout.frame_dim)
+        self.prior_state = self.state
+        self.frame_count = 0       # frames currently in the window
+        self.initialized = False
+        self.times: list[float] = []
+        self.g_world = jnp.asarray([0, 0, -cfg.g_norm], jnp.float32)
+
+    # ------------------------------------------------------------------
+    def process_frame(self, t: float, obs: fwin.FrameObs,
+                      imu: tuple[np.ndarray, np.ndarray, np.ndarray],
+                      wheel_vel: np.ndarray | None = None) -> VioOutput:
+        """One tick. ``imu`` = (acc [n,3], gyr [n,3], dt [n-? actually n])
+        samples covering (t_prev, t]; ``wheel_vel`` [n, 3] body-frame
+        velocity aligned with the IMU samples (None → zeros)."""
+        cfg = self.cfg
+        W = NUM_FRAMES
+        acc, gyr, dts = imu
+        if wheel_vel is None:
+            wheel_vel = np.zeros_like(acc)
+
+        first = self.frame_count == 0
+        if not first:
+            col = min(self.frame_count, W - 1)
+            # interval index: between frame col-1 and col
+            self.bufs.set_interval(col - 1, acc, gyr, wheel_vel, dts)
+            self.imu_valid[col - 1] = 1.0
+            self.wheel_valid[col - 1] = 1.0 if cfg.use_wheel else 0.0
+        else:
+            col = 0
+
+        self.fw, rho = fwin.add_frame(
+            self.fw, obs, col, self.state.rho)
+        self.state = self.state._replace(rho=rho)
+        self.rho_init = jnp.where(
+            (obs.fresh > 0) & (obs.alive > 0),
+            self.fw.depth_fixed, self.rho_init)
+        self.times.append(t)
+
+        if first:
+            self.frame_count = 1
+            return self._output(t, 0, False, False, False)
+
+        # predict the new frame's state by IMU propagation from col-1
+        self._predict_frame(col)
+
+        is_kf = True
+        stationary = False
+        anomaly = False
+        cost = 0.0
+
+        if not self.initialized and col == W - 1:
+            self._try_initialize()
+
+        if self.initialized:
+            pre, wpre, sinfo, wsinfo = self._preints()
+            # degradation detectors (device, scalar readback)
+            anomaly, stationary = self._detectors(pre, wpre)
+            if anomaly:
+                self.wheel_valid[col - 1] = 0.0
+
+            # triangulate uninitialized landmarks
+            rho_new, done = fwin.triangulate(
+                self.fw, self.state, self.state.rho, 1.0 - self.rho_init)
+            self.state = self.state._replace(rho=rho_new)
+            self.rho_init = jnp.maximum(self.rho_init, done.astype(jnp.float32))
+
+            meas = VioMeasurements(
+                feats=fwin.to_factor_table(self.fw),
+                imu=pre, imu_valid=jnp.asarray(self.imu_valid),
+                imu_sqrt_info=sinfo,
+                wheel=wpre, wheel_valid=jnp.asarray(self.wheel_valid),
+                wheel_sqrt_info=wsinfo,
+                plane_valid=jnp.zeros(()),
+                stationary=jnp.asarray(1.0 if stationary else 0.0),
+                prior=self.prior, prior_state=self.prior_state,
+            )
+            out = solve_window(self.state, meas, self.layout, cfg.vio)
+            self.state = out.state
+            cost = float(out.cost)
+
+            is_kf_j, _, _ = fwin.parallax_keyframe_test(
+                self.fw, cfg.min_parallax, cfg.min_tracked)
+            is_kf = bool(is_kf_j) and not stationary
+
+            if self.frame_count >= W:
+                if is_kf:
+                    self.prior = marginalize_oldest(
+                        self.state, meas, self.layout, cfg.vio)
+                    self.fw, rho = fwin.slide_oldest(
+                        self.fw, self.state, self.state.rho)
+                    self.state = _shift_state_left(
+                        self.state._replace(rho=rho))
+                    self.bufs.shift_left()
+                    self.imu_valid[:-1] = self.imu_valid[1:]
+                    self.imu_valid[-1] = 0.0
+                    self.wheel_valid[:-1] = self.wheel_valid[1:]
+                    self.wheel_valid[-1] = 0.0
+                    self.times.pop(0)
+                else:
+                    self.prior = self._marginalize_second_new()
+                    self.fw, rho = fwin.slide_second_newest(
+                        self.fw, self.state, self.state.rho)
+                    self.state = _drop_second_newest(
+                        self.state._replace(rho=rho))
+                    self.bufs.merge_last_two()
+                    self.imu_valid[-2] = max(self.imu_valid[-2], self.imu_valid[-1])
+                    self.imu_valid[-1] = 0.0
+                    self.wheel_valid[-2] = min(self.wheel_valid[-2], self.wheel_valid[-1])
+                    self.wheel_valid[-1] = 0.0
+                    self.times.pop(-2)
+                self.prior_state = self.state
+        elif col == W - 1:
+            # window full but init deferred: slide (no prior) to stay fresh
+            self.fw, rho = fwin.slide_oldest(self.fw, self.state, self.state.rho)
+            self.state = _shift_state_left(self.state._replace(rho=rho))
+            self.bufs.shift_left()
+            self.imu_valid[:-1] = self.imu_valid[1:]
+            self.imu_valid[-1] = 0.0
+            self.wheel_valid[:-1] = self.wheel_valid[1:]
+            self.wheel_valid[-1] = 0.0
+            self.times.pop(0)
+
+        if self.frame_count < W:
+            self.frame_count += 1
+
+        return self._output(t, cost, is_kf, stationary, anomaly)
+
+    # ------------------------------------------------------------------
+    def _output(self, t, cost, is_kf, stationary, anomaly):
+        idx = min(self.frame_count, NUM_FRAMES) - 1
+        tracked = int(jnp.sum(self.fw.track_valid))
+        return VioOutput(
+            t=t,
+            p=np.asarray(self.state.p[idx]),
+            q=np.asarray(self.state.q[idx]),
+            v=np.asarray(self.state.v[idx]),
+            initialized=self.initialized,
+            is_keyframe=is_kf, stationary=stationary,
+            wheel_anomaly=anomaly, tracked=tracked, cost=cost,
+        )
+
+    def _predict_frame(self, col):
+        k = col - 1
+        p, q, v = propagate_state(
+            self.state.p[k], self.state.q[k], self.state.v[k],
+            self.state.ba[k], self.state.bg[k], self.g_world,
+            jnp.asarray(self.bufs.acc[k]), jnp.asarray(self.bufs.gyr[k]),
+            jnp.asarray(self.bufs.dt[k]), mask=jnp.asarray(self.bufs.mask[k]))
+        self.state = self.state._replace(
+            p=self.state.p.at[col].set(p),
+            q=self.state.q.at[col].set(q),
+            v=self.state.v.at[col].set(v),
+            ba=self.state.ba.at[col].set(self.state.ba[k]),
+            bg=self.state.bg.at[col].set(self.state.bg[k]),
+        )
+
+    def _preints(self):
+        return _preintegrate_all(
+            jnp.asarray(self.bufs.acc), jnp.asarray(self.bufs.gyr),
+            jnp.asarray(self.bufs.wvel), jnp.asarray(self.bufs.dt),
+            jnp.asarray(self.bufs.mask),
+            self.state.ba[:-1], self.state.bg[:-1],
+            self.state.six, self.state.siy, self.state.siw,
+            self.cfg.imu_noise, self.cfg.wheel_noise)
+
+    def _detectors(self, pre, wpre):
+        """Wheel-vs-IMU anomaly + stationary detection on the latest interval
+        (reference ``estimator.cpp:681-705`` and ``checkimu``/``checkvisual``)."""
+        k = -1
+        dp_imu = float(jnp.linalg.norm(pre.dp[k]))
+        dp_whl = float(jnp.linalg.norm(wpre.dp[k]))
+        anomaly = bool(self.cfg.use_wheel
+                       and abs(dp_whl - dp_imu) > self.cfg.wheel_anomaly_thresh
+                       and self.imu_valid[k] > 0)
+        # stationary: tiny wheel translation + tiny visual parallax
+        _, par, n_co = fwin.parallax_keyframe_test(self.fw, 1e9)
+        visual_static = float(par) < self.cfg.stationary_parallax and int(n_co) > 10
+        wheel_static = dp_whl < self.cfg.stationary_dp if self.cfg.use_wheel else True
+        imu_static = dp_imu < 5 * self.cfg.stationary_dp
+        stationary = bool(visual_static and wheel_static and imu_static
+                          and self.initialized)
+        return anomaly, stationary
+
+    def _try_initialize(self):
+        """Static bootstrap: gravity + biases from interval-0 samples, then
+        IMU-propagated window poses."""
+        cfg = self.cfg
+        m0 = self.bufs.mask[0] > 0
+        if m0.sum() < 5:
+            return
+        acc0 = self.bufs.acc[0][: int(m0.sum()) + 1]
+        gyr0 = self.bufs.gyr[0][: int(m0.sum()) + 1]
+        acc_var = float(np.linalg.norm(np.var(acc0, axis=0)))
+        if acc_var > cfg.static_acc_var:
+            # robot moving at start: defer (excitation-based init is the
+            # dynamic path; static sequences—the shipped configs—start still)
+            return
+        bg = gyr0.mean(axis=0)
+        acc_mean = acc0.mean(axis=0)
+        R0 = np.asarray(lie.gravity_align(jnp.asarray(acc_mean, jnp.float32)))
+        q0 = np.asarray(lie.mat_to_quat(jnp.asarray(R0, jnp.float32)))
+        ba = acc_mean - R0.T @ np.array([0, 0, cfg.g_norm], np.float32)
+
+        st = self.state
+        st = st._replace(
+            p=jnp.zeros_like(st.p), v=jnp.zeros_like(st.v),
+            q=jnp.tile(jnp.asarray(q0)[None], (NUM_FRAMES, 1)),
+            ba=jnp.tile(jnp.asarray(ba, jnp.float32)[None], (NUM_FRAMES, 1)),
+            bg=jnp.tile(jnp.asarray(bg, jnp.float32)[None], (NUM_FRAMES, 1)),
+        )
+        self.state = st
+        # propagate each subsequent frame from the previous with the new biases
+        for col in range(1, self.frame_count):
+            self._predict_frame(col)
+        self.prior_state = self.state
+        self.initialized = True
+
+    def _marginalize_second_new(self) -> MargPrior:
+        """Drop frame W-2's dims from the existing prior only (the reference
+        marginalizes just the prior's dependence for SECOND_NEW)."""
+        lay = self.layout
+        dx0 = jnp.zeros((lay.frame_dim,), jnp.float32)
+        r, w = self.prior.residual(dx0)
+
+        def res_fn(delta):
+            rr = self.prior.sqrt_J @ delta[: lay.frame_dim] + self.prior.r0
+            return rr, jnp.broadcast_to(self.prior.valid, rr.shape)
+
+        H, g, _ = normal_equations(res_fn, jnp.zeros((lay.frame_dim,), jnp.float32))
+        W_ = lay.W
+        sec = W_ - 2
+        drop = np.concatenate([
+            np.arange(lay.pose_off + sec * 6, lay.pose_off + (sec + 1) * 6),
+            np.arange(lay.sb_off + sec * 9, lay.sb_off + (sec + 1) * 9),
+        ])
+        keep = np.setdiff1d(np.arange(lay.frame_dim), drop)
+        prior = marginalize(H, g, keep, drop)
+        # kept dims map: frames < W-2 stay; frame W-1 -> W-2 slot
+        out = []
+        for k in range(W_):
+            if k == sec:
+                continue
+            tgt = k if k < sec else k - 1
+            out.append(np.arange(lay.pose_off + tgt * 6,
+                                 lay.pose_off + (tgt + 1) * 6))
+        for k in range(W_):
+            if k == sec:
+                continue
+            tgt = k if k < sec else k - 1
+            out.append(np.arange(lay.sb_off + tgt * 9,
+                                 lay.sb_off + (tgt + 1) * 9))
+        out.append(np.arange(lay.cam_off, lay.frame_dim))
+        old_to_new = np.concatenate(out)
+        return shift_prior(prior, old_to_new, lay.frame_dim)

@@ -171,6 +171,16 @@ def marginalize_oldest(
     residual_fn = build_residual_fn(x, meas0, layout, cfg)
     H, g, _ = normal_equations(residual_fn, jnp.zeros((layout.dim,), x.p.dtype))
 
+    # dims the solver holds fixed (extrinsics/td/wheel) must carry no prior
+    # information — zero their rows/cols so the prior can't couple through
+    # never-updated states.
+    fixed = layout.free_mask(
+        fix_extrinsic=not cfg.estimate_extrinsic,
+        fix_td=not cfg.estimate_td,
+        fix_wheel=True)
+    H = H * fixed[:, None] * fixed[None, :]
+    g = g * fixed
+
     # drop: frame-0 pose+speedbias and ALL landmark dims (features anchored
     # elsewhere have zero rows here, so dropping them is a no-op but keeps
     # the prior's support static).
