@@ -241,3 +241,74 @@ class SimTracker:
         self.prev_uv = ray.copy()
         self.prev_t = t
         return ray, vel, depth, alive, fresh
+
+
+@dataclass
+class LidarSim:
+    """Spinning-LiDAR simulator: closed-form ray intersections with a set of
+    planes (room / corridor). A corridor (no end walls) makes the scan
+    degenerate along the corridor axis — the scenario the reference's
+    LiDAR-degeneracy switch exists for."""
+
+    planes_n: np.ndarray   # [P, 3] plane normals (pointing into the room)
+    planes_d: np.ndarray   # [P] plane offsets: n·x = d
+    max_range: float = 30.0
+    n_rays: int = 2048
+    v_fov: float = 0.35    # vertical half-FOV (rad)
+    noise: float = 0.0
+    seed: int = 0
+
+    @staticmethod
+    def room(x=(-8.0, 8.0), y=(-5.0, 5.0), z=(0.0, 3.0), **kw):
+        n = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                      [0, 0, 1], [0, 0, -1]], float)
+        d = np.array([x[0], -x[1], y[0], -y[1], z[0], -z[1]], float)
+        return LidarSim(planes_n=n, planes_d=d, **kw)
+
+    @staticmethod
+    def corridor(y=(-2.0, 2.0), z=(0.0, 3.0), **kw):
+        """Infinite corridor along x: degenerate for translation along x."""
+        n = np.array([[0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]], float)
+        d = np.array([y[0], -y[1], z[0], -z[1]], float)
+        return LidarSim(planes_n=n, planes_d=d, **kw)
+
+    def scan(self, p0, q0, p1, q1, rng=None):
+        """One sweep from pose (p0,q0) to (p1,q1). Returns
+        (pts_body [N,3], alpha [N], valid [N]) — body frame of the pose at
+        each point's own timestamp (continuous-time ground truth)."""
+        if rng is None:
+            rng = np.random.default_rng(self.seed)
+        N = self.n_rays
+        alpha = np.linspace(0.0, 1.0, N, endpoint=False)
+        az = 2 * np.pi * alpha * 1.0 + rng.uniform(0, 2 * np.pi / N, N)
+        el = rng.uniform(-self.v_fov, self.v_fov, N)
+        d_body = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                           np.sin(el)], -1)
+
+        pts = np.zeros((N, 3), np.float32)
+        valid = np.zeros((N,), np.float32)
+        for i in range(N):
+            a = alpha[i]
+            # slerp-free small-angle pose interp is fine for sim (smooth GT)
+            q = q0 * (1 - a) + q1 * a
+            q = q / np.linalg.norm(q)
+            p = p0 * (1 - a) + p1 * a
+            R = _quat_to_mat(q)
+            d_w = R @ d_body[i]
+            o = p
+            t_best = np.inf
+            for k in range(self.planes_n.shape[0]):
+                n = self.planes_n[k]
+                denom = n @ d_w
+                if abs(denom) < 1e-9:
+                    continue
+                t = (self.planes_d[k] - n @ o) / denom
+                if 0.3 < t < t_best:
+                    t_best = t
+            if t_best < self.max_range:
+                hit_w = o + t_best * d_w
+                if self.noise > 0:
+                    hit_w = hit_w + rng.normal(scale=self.noise, size=3)
+                pts[i] = R.T @ (hit_w - p)
+                valid[i] = 1.0
+        return pts, alpha.astype(np.float32), valid

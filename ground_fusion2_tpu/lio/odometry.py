@@ -1,0 +1,258 @@
+"""LiDAR-inertial odometry orchestration + degradation-aware pose switch.
+
+The TPU counterpart of the reference's ``zjloc::lidarodom``
+(``lio/src/liw/lio/lidarodom.cpp``): per-sweep tick =
+
+  ESKF predict through the sweep's IMU samples → CT-ICP against the voxel
+  map (begin/end continuous-time pose) → ESKF SE(3) update → degeneracy
+  check → LIO↔VIO switch → map insert + eviction.
+
+The switch state machine mirrors ``lidarodom.cpp:313-437`` exactly,
+including its decoupled rotation/translation offset composition (chosen
+there for C0-continuity of the published trajectory):
+
+  * entering degeneracy: latch an offset between the external (VIO) pose and
+    the current fused pose; publish ``external ⊕ offset`` while degenerate;
+  * exiting: latch the offset between the raw LIO pose and the fused pose;
+    publish ``lio ⊕ offset`` thereafter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from . import ct_icp as ci
+from . import eskf as ekf
+from . import voxel_map as vm
+
+
+def _compose_offset(q_base, t_base, q_off, t_off):
+    """Reference's decoupled composition: R = R_base R_off, t = t_base + t_off."""
+    return lie.quat_mul(jnp.asarray(q_base), jnp.asarray(q_off)), \
+        jnp.asarray(t_base) + jnp.asarray(t_off)
+
+
+def _latch_offset(q_from, t_from, q_to, t_to):
+    """Offset such that from ⊕ off == to (decoupled form)."""
+    q_off = lie.quat_mul(lie.quat_conj(jnp.asarray(q_from)), jnp.asarray(q_to))
+    t_off = np.asarray(t_to) - np.asarray(t_from)
+    return np.asarray(q_off), t_off
+
+
+@dataclass
+class LioConfig:
+    map_cfg: vm.VoxelMapConfig = field(default_factory=vm.VoxelMapConfig)
+    icp_cfg: ci.CtIcpConfig = field(default_factory=ci.CtIcpConfig)
+    eskf_opt: ekf.EskfOptions = field(default_factory=ekf.EskfOptions)
+    max_keypoints: int = 2048        # reference caps residuals at 2000
+    static_init_samples: int = 100   # ~0.5 s at 200 Hz (reference uses 1 s)
+    insert_subsample: int = 1
+    g_norm: float = 9.81
+
+
+class LioOutput(NamedTuple):
+    t: float
+    p_fused: np.ndarray
+    q_fused: np.ndarray
+    p_lio: np.ndarray
+    q_lio: np.ndarray
+    degenerate: bool
+    switched: str        # "", "to_vio", "to_lio"
+    n_corr: int
+    sigma: np.ndarray
+
+
+class LidarOdometry:
+    def __init__(self, cfg: LioConfig):
+        self.cfg = cfg
+        self.eskf = ekf.EskfState.initial(cfg.g_norm)
+        self.vmap = vm.VoxelMap.empty(cfg.map_cfg)
+        self.initialized = False
+        self.frame_idx = 0
+        self._init_acc: list[np.ndarray] = []
+        self._init_gyr: list[np.ndarray] = []
+        # switch state (mirrors reference flags)
+        self.has_entered_degenerate = False
+        self.first_is_degenerate = False   # first-ever frames were degenerate
+        self.was_degenerate = False
+        self.q_off = np.array([1.0, 0, 0, 0])
+        self.t_off = np.zeros(3)
+        self.use_external = False
+        self.last_q_lo = np.array([1.0, 0, 0, 0])
+        self.last_t_lo = np.zeros(3)
+        self.last_q_ext = np.array([1.0, 0, 0, 0])
+        self.last_t_ext = np.zeros(3)
+        self.q_fused = np.array([1.0, 0, 0, 0])
+        self.t_fused = np.zeros(3)
+
+    # ------------------------------------------------------------------
+    def process_scan(self, t: float, pts_body: np.ndarray, alpha: np.ndarray,
+                     mask: np.ndarray, imu: tuple, external_pose=None
+                     ) -> LioOutput | None:
+        """One sweep. ``imu`` = (acc [n,3], gyr [n,3], dt [n]) covering the
+        sweep; ``external_pose`` = (p, q) from the VIO IMU-rate stream
+        (gravity-aligned), used when LiDAR degenerates."""
+        cfg = self.cfg
+        acc, gyr, dts = imu
+
+        if not self.initialized:
+            self._init_acc.extend(list(acc))
+            self._init_gyr.extend(list(gyr))
+            if len(self._init_acc) >= cfg.static_init_samples:
+                self._static_init(external_pose)
+                self._insert_scan(pts_body, alpha, mask,
+                                  self.eskf.q, self.eskf.p,
+                                  self.eskf.q, self.eskf.p)
+                self.initialized = True
+                self.frame_idx = 1
+                return self._output(t, False, "")
+            return None
+
+        # --- ESKF predict through the sweep -----------------------------
+        q_begin, t_begin = self.eskf.q, self.eskf.p
+        n = len(dts)
+        m = np.ones((n,), np.float32)
+        self.eskf, _ = ekf.predict_batch(
+            self.eskf, jnp.asarray(acc[:n], jnp.float32),
+            jnp.asarray(gyr[:n], jnp.float32), jnp.asarray(dts, jnp.float32),
+            jnp.asarray(m), cfg.eskf_opt)
+        q_end_pred, t_end_pred = self.eskf.q, self.eskf.p
+
+        # --- CT-ICP ------------------------------------------------------
+        kp, ka, km = self._keypoints(pts_body, alpha, mask)
+        pose0 = ci.CtPose(q_begin=q_begin, t_begin=t_begin,
+                          q_end=q_end_pred, t_end=t_end_pred)
+        res = ci.ct_icp(pose0, jnp.asarray(kp, jnp.float32),
+                        jnp.asarray(ka, jnp.float32),
+                        jnp.asarray(km, jnp.float32),
+                        cfg.icp_cfg, cfg.map_cfg, self.vmap, pred=pose0)
+
+        degenerate = bool(res.degenerate)
+        q_lo = np.asarray(res.pose.q_end)
+        t_lo = np.asarray(res.pose.t_end)
+
+        # ESKF observes the LIO pose (reference ObserveSE3(pose_lo, 1e-2, 1e-2))
+        if not degenerate:
+            self.eskf = ekf.observe_se3(
+                self.eskf, jnp.asarray(t_lo, jnp.float32),
+                jnp.asarray(q_lo, jnp.float32), 1e-2, 1e-2)
+        elif external_pose is not None:
+            # when degenerate, anchor the filter with the external pose to
+            # keep prediction bounded (reference keeps publishing external)
+            p_ext, q_ext = external_pose
+            self.eskf = ekf.observe_se3(
+                self.eskf, jnp.asarray(p_ext, jnp.float32),
+                jnp.asarray(q_ext, jnp.float32), 1e-1, 1e-1)
+
+        switched = self._switch(degenerate, q_lo, t_lo, external_pose)
+
+        # --- map update (at the raw LIO pose, like the reference) --------
+        self._insert_scan(pts_body, alpha, mask,
+                          np.asarray(res.pose.q_begin), np.asarray(res.pose.t_begin),
+                          q_lo, t_lo)
+        if self.frame_idx % 20 == 0:
+            self.vmap = vm.evict_far(self.vmap, jnp.asarray(t_lo, jnp.float32),
+                                     cfg.map_cfg)
+        self.frame_idx += 1
+        out = self._output(t, degenerate, switched)
+        return out._replace(n_corr=int(res.n_corr),
+                            sigma=np.asarray(res.sigma))
+
+    # ------------------------------------------------------------------
+    def _switch(self, degenerate, q_lo, t_lo, external_pose):
+        """The reference's four-branch switch block (lidarodom.cpp:313-437)."""
+        switched = ""
+        if external_pose is not None:
+            p_ext, q_ext = np.asarray(external_pose[0]), np.asarray(external_pose[1])
+        else:
+            p_ext, q_ext = self.last_t_ext, self.last_q_ext
+
+        if self.frame_idx <= 1:
+            self.first_is_degenerate = degenerate
+
+        if degenerate:
+            if not self.was_degenerate:
+                switched = "to_vio"
+                self.has_entered_degenerate = True
+                # latch: external ⊕ off == fused (continuity)
+                self.q_off, self.t_off = _latch_offset(
+                    self.last_q_ext, self.last_t_ext,
+                    self.q_fused, self.t_fused)
+            q_f, t_f = _compose_offset(q_ext, p_ext, self.q_off, self.t_off)
+            self.q_fused, self.t_fused = np.asarray(q_f), np.asarray(t_f)
+            self.use_external = True
+        else:
+            if self.was_degenerate:
+                switched = "to_lio"
+                # latch: lio ⊕ off == fused
+                self.q_off, self.t_off = _latch_offset(
+                    self.last_q_lo, self.last_t_lo,
+                    self.q_fused, self.t_fused)
+            if self.has_entered_degenerate:
+                q_f, t_f = _compose_offset(q_lo, t_lo, self.q_off, self.t_off)
+                self.q_fused, self.t_fused = np.asarray(q_f), np.asarray(t_f)
+            else:
+                self.q_fused, self.t_fused = q_lo.copy(), t_lo.copy()
+            self.use_external = False
+
+        self.was_degenerate = degenerate
+        self.last_q_lo, self.last_t_lo = q_lo.copy(), t_lo.copy()
+        self.last_q_ext, self.last_t_ext = q_ext.copy(), p_ext.copy()
+        return switched
+
+    # ------------------------------------------------------------------
+    def _keypoints(self, pts, alpha, mask):
+        K = self.cfg.max_keypoints
+        n = pts.shape[0]
+        if n >= K:
+            idx = np.linspace(0, n - 1, K).astype(np.int64)
+            return pts[idx], alpha[idx], mask[idx]
+        pad = K - n
+        return (np.concatenate([pts, np.zeros((pad, 3), pts.dtype)]),
+                np.concatenate([alpha, np.zeros(pad, alpha.dtype)]),
+                np.concatenate([mask, np.zeros(pad, mask.dtype)]))
+
+    def _insert_scan(self, pts, alpha, mask, q_b, t_b, q_e, t_e):
+        pose = ci.CtPose(q_begin=jnp.asarray(q_b, jnp.float32),
+                         t_begin=jnp.asarray(t_b, jnp.float32),
+                         q_end=jnp.asarray(q_e, jnp.float32),
+                         t_end=jnp.asarray(t_e, jnp.float32))
+        p_w = ci.transform_points(pose, jnp.asarray(pts, jnp.float32),
+                                  jnp.asarray(alpha, jnp.float32))
+        self.vmap = vm.insert(self.vmap, p_w,
+                              jnp.asarray(mask, jnp.float32), self.cfg.map_cfg)
+
+    def _static_init(self, external_pose):
+        acc = np.asarray(self._init_acc)
+        gyr = np.asarray(self._init_gyr)
+        bg = gyr.mean(axis=0)
+        acc_mean = acc.mean(axis=0)
+        R0 = np.asarray(lie.gravity_align(jnp.asarray(acc_mean, jnp.float32)))
+        q0 = np.asarray(lie.mat_to_quat(jnp.asarray(R0, jnp.float32)))
+        ba = acc_mean - R0.T @ np.array([0, 0, self.cfg.g_norm])
+        self.eskf = self.eskf._replace(
+            q=jnp.asarray(q0, jnp.float32),
+            bg=jnp.asarray(bg, jnp.float32),
+            ba=jnp.asarray(ba, jnp.float32))
+        if external_pose is not None:
+            p_ext, q_ext = external_pose
+            self.eskf = self.eskf._replace(p=jnp.asarray(p_ext, jnp.float32))
+            self.last_t_ext = np.asarray(p_ext, float).copy()
+            self.last_q_ext = np.asarray(q_ext, float).copy()
+        # continuity anchors start at the init pose
+        self.t_fused = np.asarray(self.eskf.p, float).copy()
+        self.q_fused = np.asarray(self.eskf.q, float).copy()
+        self.last_t_lo = self.t_fused.copy()
+        self.last_q_lo = self.q_fused.copy()
+
+    def _output(self, t, degenerate, switched):
+        return LioOutput(
+            t=t, p_fused=self.t_fused.copy(), q_fused=self.q_fused.copy(),
+            p_lio=np.asarray(self.last_t_lo), q_lio=np.asarray(self.last_q_lo),
+            degenerate=degenerate, switched=switched, n_corr=0,
+            sigma=np.zeros(3))

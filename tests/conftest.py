@@ -32,6 +32,6 @@ def rng():
     return np.random.default_rng(0)
 
 # persistent compile cache across test processes
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,162 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ground_fusion2_tpu.core import lie
+from ground_fusion2_tpu.data import synthetic as sim
+from ground_fusion2_tpu.lio import ct_icp as ci
+from ground_fusion2_tpu.lio import eskf as ekf
+from ground_fusion2_tpu.lio import voxel_map as vm
+
+
+def small_map_cfg():
+    return vm.VoxelMapConfig(capacity=1 << 14, voxel_size=0.2, gather_k=8,
+                             knn=16, max_range=50.0)
+
+
+# ---------------------------------------------------------------- voxel map
+def test_voxel_map_insert_query(rng):
+    cfg = small_map_cfg()
+    m = vm.VoxelMap.empty(cfg)
+    pts = jnp.asarray(rng.uniform(-5, 5, size=(2000, 3)), jnp.float32)
+    m = vm.insert(m, pts, jnp.ones((2000,)), cfg)
+    # query near inserted points: neighbors must be within voxel distance
+    q = pts[:100]
+    neigh, mask = vm.knn_gather(m, q, cfg)
+    assert bool(mask[:, 0].all()), "every query should find at least 1 neighbor"
+    d0 = jnp.linalg.norm(neigh[:, 0] - q, axis=-1)
+    assert float(d0.max()) < 0.2  # nearest neighbor is the point itself-ish
+
+
+def test_voxel_map_min_spacing(rng):
+    cfg = small_map_cfg()
+    m = vm.VoxelMap.empty(cfg)
+    # 1000 copies of nearly the same point: dedup to one per 5cm subcell
+    pts = jnp.asarray(0.01 * rng.normal(size=(1000, 3)), jnp.float32)
+    m = vm.insert(m, pts, jnp.ones((1000,)), cfg)
+    n_valid = int(jnp.sum(m.code != vm.INVALID))
+    assert n_valid <= 64, n_valid  # at most the subcells of ~1 voxel
+
+
+def test_voxel_map_eviction(rng):
+    cfg = small_map_cfg()
+    m = vm.VoxelMap.empty(cfg)
+    near = rng.uniform(-5, 5, size=(500, 3))
+    far = rng.uniform(60, 70, size=(500, 3))
+    pts = jnp.asarray(np.concatenate([near, far]), jnp.float32)
+    m = vm.insert(m, pts, jnp.ones((1000,)), cfg)
+    m = vm.evict_far(m, jnp.zeros(3), cfg)
+    kept = int(jnp.sum(m.code != vm.INVALID))
+    assert kept <= 520 and kept > 400
+
+
+def test_plane_fit(rng):
+    # points on plane z = 2 with noise
+    pts = rng.uniform(-1, 1, size=(1, 16, 3)).astype(np.float32)
+    pts[..., 2] = 2.0 + 0.001 * rng.normal(size=(1, 16))
+    normal, mean, a2d, valid = vm.fit_planes(
+        jnp.asarray(pts), jnp.ones((1, 16)))
+    assert bool(valid[0])
+    assert abs(float(normal[0, 2])) > 0.999
+    assert float(a2d[0]) > 0.4
+
+
+# ---------------------------------------------------------------- eskf
+def test_eskf_static_stays():
+    opt = ekf.EskfOptions()
+    s = ekf.EskfState.initial()
+    n = 200
+    acc = jnp.tile(jnp.asarray([0, 0, 9.81], jnp.float32), (n, 1))
+    gyr = jnp.zeros((n, 3), jnp.float32)
+    dt = jnp.full((n,), 0.005, jnp.float32)
+    s, _ = ekf.predict_batch(s, acc, gyr, dt, jnp.ones((n,)), opt)
+    np.testing.assert_allclose(np.asarray(s.p), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s.v), 0.0, atol=1e-4)
+
+
+def test_eskf_observe_pulls_state():
+    s = ekf.EskfState.initial()
+    s = s._replace(cov=jnp.eye(18) * 1.0)
+    p_obs = jnp.asarray([1.0, 2.0, 3.0], jnp.float32)
+    q_obs = lie.quat_exp(jnp.asarray([0.1, 0.0, 0.0], jnp.float32))
+    s2 = ekf.observe_se3(s, p_obs, q_obs, 1e-3, 1e-3)
+    np.testing.assert_allclose(np.asarray(s2.p), np.asarray(p_obs), atol=1e-2)
+    ang = np.linalg.norm(np.asarray(lie.quat_boxminus(s2.q, q_obs)))
+    assert ang < 1e-2
+
+
+# ---------------------------------------------------------------- ct-icp
+def build_room_map(cfg, n_scans=4, seed=0):
+    lidar = sim.LidarSim.room(n_rays=4096, seed=seed)
+    m = vm.VoxelMap.empty(cfg)
+    rng = np.random.default_rng(seed)
+    p0 = np.array([0.0, 0.0, 0.5])
+    q0 = np.array([1.0, 0, 0, 0])
+    for k in range(n_scans):
+        p = p0 + rng.uniform(-0.5, 0.5, 3) * np.array([1, 1, 0.1])
+        pts, alpha, valid = lidar.scan(p, q0, p, q0, rng=rng)
+        pose = ci.CtPose(q_begin=jnp.asarray(q0, jnp.float32),
+                         t_begin=jnp.asarray(p, jnp.float32),
+                         q_end=jnp.asarray(q0, jnp.float32),
+                         t_end=jnp.asarray(p, jnp.float32))
+        p_w = ci.transform_points(pose, jnp.asarray(pts, jnp.float32),
+                                  jnp.asarray(alpha, jnp.float32))
+        m = vm.insert(m, p_w, jnp.asarray(valid), cfg)
+    return m, lidar
+
+
+@pytest.mark.slow
+def test_ct_icp_recovers_pose():
+    map_cfg = small_map_cfg()
+    m, lidar = build_room_map(map_cfg)
+    icp_cfg = ci.CtIcpConfig(outer_iters=8)
+    rng = np.random.default_rng(7)
+
+    p_true = np.array([0.3, -0.2, 0.5])
+    q_true = np.asarray(lie.quat_exp(jnp.asarray([0.0, 0.0, 0.3], jnp.float32)))
+    pts, alpha, valid = lidar.scan(p_true, q_true, p_true, q_true, rng=rng)
+
+    # perturbed initial guess
+    p0 = p_true + rng.normal(scale=0.1, size=3)
+    q0 = np.asarray(lie.quat_boxplus(jnp.asarray(q_true, jnp.float32),
+                                     jnp.asarray(rng.normal(scale=0.05, size=3), jnp.float32)))
+    pose0 = ci.CtPose(q_begin=jnp.asarray(q0, jnp.float32),
+                      t_begin=jnp.asarray(p0, jnp.float32),
+                      q_end=jnp.asarray(q0, jnp.float32),
+                      t_end=jnp.asarray(p0, jnp.float32))
+    res = ci.ct_icp(pose0, jnp.asarray(pts, jnp.float32),
+                    jnp.asarray(alpha, jnp.float32), jnp.asarray(valid),
+                    ci.CtIcpConfig(outer_iters=8, beta_location=0.0,
+                                   beta_velocity=0.0),
+                    map_cfg, m)
+    t_err = np.linalg.norm(np.asarray(res.pose.t_end) - p_true)
+    a_err = np.linalg.norm(np.asarray(lie.quat_boxminus(
+        res.pose.q_end, jnp.asarray(q_true, jnp.float32))))
+    assert t_err < 0.02, t_err
+    assert a_err < 0.01, a_err
+    assert not bool(res.degenerate)
+
+
+@pytest.mark.slow
+def test_corridor_is_degenerate():
+    map_cfg = small_map_cfg()
+    lidar = sim.LidarSim.corridor(n_rays=4096, seed=1)
+    rng = np.random.default_rng(1)
+    m = vm.VoxelMap.empty(map_cfg)
+    p = np.array([0.0, 0.0, 1.0])
+    q = np.array([1.0, 0, 0, 0])
+    pts, alpha, valid = lidar.scan(p, q, p, q, rng=rng)
+    pose = ci.CtPose(*(jnp.asarray(v, jnp.float32) for v in (q, p, q, p)))
+    p_w = ci.transform_points(pose, jnp.asarray(pts, jnp.float32),
+                              jnp.asarray(alpha, jnp.float32))
+    m = vm.insert(m, p_w, jnp.asarray(valid), map_cfg)
+
+    pts2, alpha2, valid2 = lidar.scan(p, q, p, q, rng=rng)
+    res = ci.ct_icp(pose, jnp.asarray(pts2, jnp.float32),
+                    jnp.asarray(alpha2, jnp.float32), jnp.asarray(valid2),
+                    ci.CtIcpConfig(outer_iters=4), map_cfg, m)
+    # corridor: only 2 independent normal directions (y wall, floor/ceil z)
+    sig = np.asarray(res.sigma)
+    assert sig[2] < 7.0 or bool(res.degenerate), sig
+    assert bool(res.degenerate)
