@@ -11,6 +11,7 @@ from ..factors.vio_factors import FeatureTable, imu_sqrt_info
 from ..sensors.imu_preint import ImuNoise, preintegrate
 from ..sensors.wheel_preint import WheelNoise, preintegrate_wheel
 from ..solver.marginalize import MargPrior
+from ..gnss.factors import GnssTable
 from ..vio.problem import VioConfig, VioMeasurements
 from ..vio.state import NUM_FRAMES, WindowLayout, WindowState
 from . import synthetic as sim
@@ -109,6 +110,7 @@ def make_example_window(num_feats: int = 96, imu_per_interval: int = 40,
         wheel=wpre, wheel_valid=jnp.ones((W - 1,), jnp.float32),
         wheel_sqrt_info=wsinfo,
         plane_valid=jnp.zeros(()), stationary=jnp.zeros(()),
+        gnss=GnssTable.empty(11), gnss_enabled=jnp.zeros(()),
         prior=MargPrior.empty(layout.frame_dim),
         prior_state=x0)
     cfg = VioConfig(num_feats=F)

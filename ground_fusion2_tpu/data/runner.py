@@ -35,6 +35,9 @@ def run_synthetic_sequence(
     imu_noise: bool = False,
     depth_prob: float = 1.0,
     use_wheel: bool = False,
+    use_gnss: bool = False,
+    gnss_yaw: float = 0.0,
+    gnss_rate: float = 2.0,
     num_feats: int = 96,
     num_landmarks: int = 600,
     seed: int = 0,
@@ -55,8 +58,17 @@ def run_synthetic_sequence(
     wvel = sim.wheel_velocity_body(traj)
 
     if cfg is None:
-        cfg = EstimatorConfig(num_feats=num_feats, use_wheel=use_wheel)
+        cfg = EstimatorConfig(num_feats=num_feats, use_wheel=use_wheel,
+                              use_gnss=use_gnss)
     est = VioEstimator(cfg, tic=cam.tic, ric=cam.ric)
+
+    gsim = None
+    if use_gnss:
+        from ..gnss.sim import GnssSim
+        gsim = GnssSim(psr_noise=0.5, dopp_noise=0.05, seed=seed)
+        Rz = np.array([[np.cos(gnss_yaw), -np.sin(gnss_yaw), 0],
+                       [np.sin(gnss_yaw), np.cos(gnss_yaw), 0],
+                       [0, 0, 1.0]])
 
     spf = int(imu_rate / frame_rate)   # imu samples per frame
     n_frames = int(duration * frame_rate) - 1
@@ -73,7 +85,13 @@ def run_synthetic_sequence(
             alive=jnp.asarray(alive), fresh=jnp.asarray(fresh))
         imu_chunk = (acc[i0:i1 + 1], gyr[i0:i1 + 1],
                      np.full((spf,), 1.0 / imu_rate, np.float32))
-        out = est.process_frame(t, obs, imu_chunk, wheel_vel=wvel[i0:i1 + 1])
+        gnss_meas = None
+        if gsim is not None and k % max(1, int(frame_rate / gnss_rate)) == 0:
+            gnss_meas = gsim.measurements(
+                t=50.0 + t, enu_pos=Rz @ traj.p[i1], enu_vel=Rz @ traj.v[i1],
+                clk_bias=5.0, clk_drift=0.5)
+        out = est.process_frame(t, obs, imu_chunk, wheel_vel=wvel[i0:i1 + 1],
+                                gnss_meas=gnss_meas)
         outputs.append(out)
         ts.append(t)
         est_p.append(out.p); est_q.append(out.q)

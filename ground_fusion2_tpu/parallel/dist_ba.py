@@ -260,11 +260,16 @@ def _example_meas_spec():
     from ..sensors.wheel_preint import WheelPreint
     from ..solver.marginalize import MargPrior
 
+    from ..gnss.factors import GnssTable
+
     z = jnp.zeros(())
     imu = ImuPreint(z, z, z, z, z, z, z, z)
     whl = WheelPreint(z, z, z, z, z, z, z, z, z, z, z, z)
+    n_state = len(WindowState._fields)
+    n_gnss = len(GnssTable._fields)
     return VioMeasurements(
         feats=None, imu=imu, imu_valid=z, imu_sqrt_info=z,
         wheel=whl, wheel_valid=z, wheel_sqrt_info=z,
         plane_valid=z, stationary=z,
-        prior=MargPrior(z, z, z), prior_state=WindowState(*([z] * 14)))
+        gnss=GnssTable(*([z] * n_gnss)), gnss_enabled=z,
+        prior=MargPrior(z, z, z), prior_state=WindowState(*([z] * n_state)))

@@ -37,6 +37,7 @@ from ..factors.vio_factors import imu_sqrt_info
 from ..sensors.imu_preint import ImuNoise, preintegrate, propagate_state
 from ..sensors.wheel_preint import WheelNoise, preintegrate_wheel
 from ..solver.marginalize import MargPrior, marginalize, shift_prior
+from ..gnss.factors import GnssTable
 from . import feature_window as fwin
 from .problem import VioConfig, VioMeasurements, marginalize_oldest, solve_window
 from .problem import build_residual_fn
@@ -59,12 +60,18 @@ class EstimatorConfig:
     stationary_dp: float = 0.01          # stationary detectors
     stationary_parallax: float = 0.5 / 460.0
     use_wheel: bool = False
+    use_gnss: bool = False
+    gnss_low_speed: float = 0.3          # reference estimator.cpp:2968
+    gnss_align_min_epochs: int = 5
+    gnss_align_min_speed: float = 0.4
+    gnss_refine_ticks: int = 15
     g_norm: float = 9.81
 
     def __post_init__(self):
         if self.vio is None:
             self.vio = VioConfig(num_feats=self.num_feats,
                                  use_wheel=self.use_wheel,
+                                 use_gnss=self.use_gnss,
                                  g_norm=self.g_norm)
 
 
@@ -182,11 +189,18 @@ class VioEstimator:
         self.initialized = False
         self.times: list[float] = []
         self.g_world = jnp.asarray([0, 0, -cfg.g_norm], jnp.float32)
+        # GNSS state (reference gnss_ready / GNSSVIAlign)
+        self.gnss_frames: list = [None] * NUM_FRAMES   # per-column epoch meas
+        self.gnss_ready = False
+        self.gnss_anchor = None          # ECEF anchor for prereduction
+        self.gnss_align_buf: list = []   # (v_local, v_enu) pairs for yaw
+        self.gnss_refine_left = 0
 
     # ------------------------------------------------------------------
     def process_frame(self, t: float, obs: fwin.FrameObs,
                       imu: tuple[np.ndarray, np.ndarray, np.ndarray],
-                      wheel_vel: np.ndarray | None = None) -> VioOutput:
+                      wheel_vel: np.ndarray | None = None,
+                      gnss_meas: list | None = None) -> VioOutput:
         """One tick. ``imu`` = (acc [n,3], gyr [n,3], dt [n-? actually n])
         samples covering (t_prev, t]; ``wheel_vel`` [n, 3] body-frame
         velocity aligned with the IMU samples (None → zeros)."""
@@ -206,6 +220,7 @@ class VioEstimator:
         else:
             col = 0
 
+        self.gnss_frames[col] = gnss_meas
         self.fw, rho = fwin.add_frame(
             self.fw, obs, col, self.state.rho)
         self.state = self.state._replace(rho=rho)
@@ -229,6 +244,9 @@ class VioEstimator:
         if not self.initialized and col == W - 1:
             self._try_initialize()
 
+        if self.initialized and cfg.use_gnss and not self.gnss_ready:
+            self._try_gnss_align()
+
         if self.initialized:
             pre, wpre, sinfo, wsinfo = self._preints()
             # degradation detectors (device, scalar readback)
@@ -250,9 +268,16 @@ class VioEstimator:
                 wheel_sqrt_info=wsinfo,
                 plane_valid=jnp.zeros(()),
                 stationary=jnp.asarray(1.0 if stationary else 0.0),
+                gnss=self._gnss_table(),
+                gnss_enabled=jnp.asarray(
+                    1.0 if self._gnss_enabled() else 0.0),
                 prior=self.prior, prior_state=self.prior_state,
             )
-            out = solve_window(self.state, meas, self.layout, cfg.vio)
+            vio_cfg = cfg.vio
+            if self.gnss_refine_left > 0:
+                vio_cfg = vio_cfg._replace(refine_gnss_alignment=True)
+                self.gnss_refine_left -= 1
+            out = solve_window(self.state, meas, self.layout, vio_cfg)
             self.state = out.state
             cost = float(out.cost)
 
@@ -274,6 +299,7 @@ class VioEstimator:
                     self.wheel_valid[:-1] = self.wheel_valid[1:]
                     self.wheel_valid[-1] = 0.0
                     self.times.pop(0)
+                    self.gnss_frames = self.gnss_frames[1:] + [None]
                 else:
                     self.prior = self._marginalize_second_new()
                     self.fw, rho = fwin.slide_second_newest(
@@ -286,6 +312,8 @@ class VioEstimator:
                     self.wheel_valid[-2] = min(self.wheel_valid[-2], self.wheel_valid[-1])
                     self.wheel_valid[-1] = 0.0
                     self.times.pop(-2)
+                    self.gnss_frames[-2] = self.gnss_frames[-1]
+                    self.gnss_frames[-1] = None
                 self.prior_state = self.state
         elif col == W - 1:
             # window full but init deferred: slide (no prior) to stay fresh
@@ -297,6 +325,7 @@ class VioEstimator:
             self.wheel_valid[:-1] = self.wheel_valid[1:]
             self.wheel_valid[-1] = 0.0
             self.times.pop(0)
+            self.gnss_frames = self.gnss_frames[1:] + [None]
 
         if self.frame_count < W:
             self.frame_count += 1
@@ -430,3 +459,93 @@ class VioEstimator:
         out.append(np.arange(lay.cam_off, lay.frame_dim))
         old_to_new = np.concatenate(out)
         return shift_prior(prior, old_to_new, lay.frame_dim)
+
+    # ------------------------------------------------------------- GNSS
+    def _mean_speed(self) -> float:
+        k = min(self.frame_count, NUM_FRAMES)
+        return float(jnp.mean(jnp.linalg.norm(self.state.v[:k], axis=-1)))
+
+    def _gnss_enabled(self) -> bool:
+        """gnss_ready && above the low-speed gate (reference
+        ``estimator.cpp:2968-2991``: below 0.3 m/s GNSS factors are skipped
+        and yaw stays fixed)."""
+        return (self.cfg.use_gnss and self.gnss_ready
+                and self._mean_speed() >= self.cfg.gnss_low_speed)
+
+    def _gnss_table(self) -> GnssTable:
+        from ..gnss.factors import MAX_SATS, prepare_frame_obs
+        W = NUM_FRAMES
+        tab = GnssTable.empty(W)
+        if not (self.cfg.use_gnss and self.gnss_anchor is not None):
+            return tab
+        u = np.zeros((W, MAX_SATS, 3), np.float32)
+        r0 = np.zeros((W, MAX_SATS), np.float32)
+        d0 = np.zeros((W, MAX_SATS), np.float32)
+        oh = np.zeros((W, MAX_SATS, 4), np.float32)
+        ps = np.ones((W, MAX_SATS), np.float32)
+        ds = np.ones((W, MAX_SATS), np.float32)
+        va = np.zeros((W, MAX_SATS), np.float32)
+        for k, meas in enumerate(self.gnss_frames):
+            if not meas:
+                continue
+            u[k], r0[k], d0[k], oh[k], ps[k], ds[k], va[k] = \
+                prepare_frame_obs(meas, self.gnss_anchor)
+        dts = np.diff(np.asarray(self.times, np.float64)) \
+            if len(self.times) > 1 else np.full((W - 1,), 0.1)
+        frame_dt = np.full((W - 1,), 0.1, np.float32)
+        frame_dt[:len(dts)] = dts[:W - 1]
+        return GnssTable(
+            u_enu=jnp.asarray(u), r0=jnp.asarray(r0), d0=jnp.asarray(d0),
+            sys_onehot=jnp.asarray(oh), psr_std=jnp.asarray(ps),
+            dopp_std=jnp.asarray(ds), valid=jnp.asarray(va),
+            frame_dt=jnp.asarray(frame_dt))
+
+    def _try_gnss_align(self):
+        """GNSS-VI alignment (reference ``GNSSVIAlign`` /
+        ``gnss_vi_initializer.cpp``): SPP coarse fix -> yaw from
+        velocity-direction matching -> anchor such that the local origin
+        lands on the fix; then a few refine ticks with yaw/anchor free."""
+        from ..gnss import frames as gframes
+        from ..gnss.spp import spp_position, spp_velocity
+
+        # collect epochs currently in the window with enough sats + motion
+        k = min(self.frame_count, NUM_FRAMES) - 1
+        meas = self.gnss_frames[k]
+        if not meas or len(meas) < 5:
+            return
+        v_local = np.asarray(self.state.v[k])
+        if np.linalg.norm(v_local[:2]) < self.cfg.gnss_align_min_speed:
+            return
+        pos_ecef, dt, ok = spp_position(meas)
+        if not ok:
+            return
+        vel_ecef, ddt, ok = spp_velocity(meas, pos_ecef)
+        if not ok:
+            return
+        R = gframes.ecef2rotation(pos_ecef)
+        v_enu = R @ vel_ecef
+        if np.linalg.norm(v_enu[:2]) < self.cfg.gnss_align_min_speed:
+            return
+        self.gnss_align_buf.append(
+            (v_local[:2].copy(), v_enu[:2].copy(), pos_ecef.copy(),
+             np.asarray(self.state.p[k])))
+        if len(self.gnss_align_buf) < self.cfg.gnss_align_min_epochs:
+            return
+        # yaw: average angle taking local velocity direction to ENU
+        num, den = 0.0, 0.0
+        for vl, ve, _, _ in self.gnss_align_buf:
+            cross = vl[0] * ve[1] - vl[1] * ve[0]
+            dot = vl @ ve
+            num += cross
+            den += dot
+        yaw = float(np.arctan2(num, den))
+        # anchor: local origin maps to ENU zero => anchor = fix - Rz p_local
+        _, _, fix_ecef, p_local = self.gnss_align_buf[-1]
+        Rz = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                       [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1.0]])
+        R_enu2ecef = gframes.ecef2rotation(fix_ecef).T
+        self.gnss_anchor = fix_ecef - R_enu2ecef @ (Rz @ p_local)
+        self.state = self.state._replace(
+            gyaw=jnp.asarray(yaw, jnp.float32))
+        self.gnss_ready = True
+        self.gnss_refine_left = self.cfg.gnss_refine_ticks

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..factors import vio_factors as fac
+from ..gnss.factors import GnssTable, gnss_residuals
 from ..sensors.imu_preint import ImuPreint
 from ..sensors.wheel_preint import WheelPreint
 from ..solver.gauss_newton import lm_solve, normal_equations
@@ -36,6 +37,10 @@ class VioConfig(NamedTuple):
     plane_weight: float = 10.0
     estimate_extrinsic: bool = False
     estimate_td: bool = False
+    use_gnss: bool = False
+    refine_gnss_alignment: bool = False   # anchor free (during VI align)
+    refine_gnss_yaw: bool = False         # yaw free (observability caveat:
+                                          # needs a long window arc)
     g_norm: float = 9.81
 
 
@@ -51,6 +56,8 @@ class VioMeasurements(NamedTuple):
     wheel_sqrt_info: jax.Array  # [W-1, 6, 6]
     plane_valid: jax.Array   # [] scalar gate
     stationary: jax.Array    # [] scalar: freeze whole window
+    gnss: GnssTable          # prereduced GNSS observations
+    gnss_enabled: jax.Array  # [] scalar: gnss_ready && !lowspeed
     prior: MargPrior         # over frame dims (layout.frame_dim)
     prior_state: WindowState  # linearization snapshot for the prior
 
@@ -82,6 +89,10 @@ def build_residual_fn(
                 x, cfg.plane_weight, meas.plane_valid)
             parts_r.append(r_pl.reshape(-1))
             parts_w.append(w_pl.reshape(-1))
+        if cfg.use_gnss:
+            r_g, w_g = gnss_residuals(x, meas.gnss, meas.gnss_enabled)
+            parts_r.append(r_g)
+            parts_w.append(w_g)
 
         # marginalization prior over frame dims
         dx_frames = layout.boxminus_frames(x, meas.prior_state)
@@ -131,10 +142,17 @@ def solve_window(
         landmark_mask=landmark_mask,
         frame_mask=frame_mask,
         fix_first_pose=False,
+        use_gnss=cfg.use_gnss,
+        fix_yaw=not cfg.refine_gnss_yaw,
+        fix_anchor=not cfg.refine_gnss_alignment,
     )
-    # gauge: if no prior yet, pin frame-0 pose
+    # gauge: if neither a prior nor active GNSS anchors the window, pin
+    # frame-0 pose (GNSS observes absolute position/yaw, so pinning would
+    # fight it)
+    anchored = (meas.prior.valid > 0) | (meas.gnss_enabled > 0
+                                         if cfg.use_gnss else False)
     pose0 = jnp.zeros_like(free).at[layout.pose_off:layout.pose_off + 6].set(1.0)
-    free = jnp.where(meas.prior.valid > 0, free, free * (1.0 - pose0))
+    free = jnp.where(anchored, free, free * (1.0 - pose0))
 
     out = lm_solve(residual_fn, layout.dim, cfg.max_iters, free_mask=free)
     x_new = layout.retract(x0, out.delta)
@@ -177,7 +195,9 @@ def marginalize_oldest(
     fixed = layout.free_mask(
         fix_extrinsic=not cfg.estimate_extrinsic,
         fix_td=not cfg.estimate_td,
-        fix_wheel=True)
+        fix_wheel=True,
+        use_gnss=cfg.use_gnss,
+        fix_yaw=True, fix_anchor=True)
     H = H * fixed[:, None] * fixed[None, :]
     g = g * fixed
 

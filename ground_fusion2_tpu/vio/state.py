@@ -47,6 +47,13 @@ class WindowState(NamedTuple):
     six: jax.Array  # [] wheel intrinsic sx
     siy: jax.Array  # [] wheel intrinsic sy
     siw: jax.Array  # [] wheel intrinsic sw
+    # GNSS states (reference para_rcv_dt / para_rcv_ddt / para_yaw_enu_local
+    # / para_anc_ecef) — present always, optimized only when GNSS is enabled
+    gdt: jax.Array       # [W, 4] per-constellation receiver clock bias (m)
+    gddt: jax.Array      # [W] receiver clock drift (m/s)
+    gyaw: jax.Array      # [] ENU yaw of the local world frame
+    ganchor: jax.Array   # [3] ENU offset of the local origin relative to the
+                         # host-side prereduction anchor (0 after alignment)
     rho: jax.Array  # [F] landmark inverse depth (anchor-frame)
 
     @staticmethod
@@ -65,6 +72,10 @@ class WindowState(NamedTuple):
             tio=jnp.zeros((3,), dtype),
             qio=lie.quat_identity((), dtype),
             six=one, siy=one, siw=one,
+            gdt=jnp.zeros((W, 4), dtype),
+            gddt=jnp.zeros((W,), dtype),
+            gyaw=jnp.zeros((), dtype),
+            ganchor=jnp.zeros((3,), dtype),
             rho=jnp.full((num_feats,), 0.2, dtype),
         )
 
@@ -82,6 +93,10 @@ class WindowLayout:
         self.td_off = o; o += 1
         self.wext_off = o; o += 6
         self.wint_off = o; o += 3
+        self.gdt_off = o; o += self.W * 4
+        self.gddt_off = o; o += self.W
+        self.gyaw_off = o; o += 1
+        self.ganchor_off = o; o += 3
         self.frame_dim = o          # dims before landmarks
         self.rho_off = o; o += num_feats
         self.dim = o
@@ -100,6 +115,10 @@ class WindowLayout:
         dtd = delta[self.td_off]
         dwex = delta[self.wext_off:self.wext_off + 6]
         dwin = delta[self.wint_off:self.wint_off + 3]
+        dgdt = delta[self.gdt_off:self.gdt_off + self.W * 4].reshape(self.W, 4)
+        dgddt = delta[self.gddt_off:self.gddt_off + self.W]
+        dgyaw = delta[self.gyaw_off]
+        dganc = delta[self.ganchor_off:self.ganchor_off + 3]
         drho = delta[self.rho_off:self.rho_off + self.F]
         return WindowState(
             p=x.p + dp6[:, 0:3],
@@ -115,6 +134,10 @@ class WindowLayout:
             six=x.six + dwin[0],
             siy=x.siy + dwin[1],
             siw=x.siw + dwin[2],
+            gdt=x.gdt + dgdt,
+            gddt=x.gddt + dgddt,
+            gyaw=x.gyaw + dgyaw,
+            ganchor=x.ganchor + dganc,
             rho=x.rho + drho,
         )
 
@@ -136,22 +159,32 @@ class WindowLayout:
             x.tio - x0.tio,
             lie.quat_boxminus(x.qio, x0.qio),
             jnp.stack([x.six - x0.six, x.siy - x0.siy, x.siw - x0.siw]),
+            (x.gdt - x0.gdt).reshape(-1),
+            x.gddt - x0.gddt,
+            (x.gyaw - x0.gyaw)[None],
+            x.ganchor - x0.ganchor,
         ])
         return out
 
     # --- marginalization index sets (static numpy) --------------------
     def frame0_drop_indices(self) -> np.ndarray:
-        """Tangent dims of frame 0 (pose + speedbias): dropped at MARGIN_OLD."""
+        """Tangent dims of frame 0 (pose + speedbias + GNSS clocks):
+        dropped at MARGIN_OLD."""
         pose0 = np.arange(self.pose_off, self.pose_off + 6)
         sb0 = np.arange(self.sb_off, self.sb_off + 9)
-        return np.concatenate([pose0, sb0])
+        gdt0 = np.arange(self.gdt_off, self.gdt_off + 4)
+        gddt0 = np.arange(self.gddt_off, self.gddt_off + 1)
+        return np.concatenate([pose0, sb0, gdt0, gddt0])
 
     def frame_keep_indices(self) -> np.ndarray:
         """All frame dims except frame 0 (prior support after MARGIN_OLD)."""
         keep = []
         keep.append(np.arange(self.pose_off + 6, self.pose_off + self.W * 6))
         keep.append(np.arange(self.sb_off + 9, self.sb_off + self.W * 9))
-        keep.append(np.arange(self.cam_off, self.frame_dim))
+        keep.append(np.arange(self.cam_off, self.gdt_off))
+        keep.append(np.arange(self.gdt_off + 4, self.gdt_off + self.W * 4))
+        keep.append(np.arange(self.gddt_off + 1, self.gddt_off + self.W))
+        keep.append(np.arange(self.gyaw_off, self.frame_dim))
         return np.concatenate(keep)
 
     def shift_map_after_marg_old(self) -> np.ndarray:
@@ -164,7 +197,12 @@ class WindowLayout:
         for k in range(1, self.W):
             out.append(np.arange(self.sb_off + (k - 1) * 9,
                                  self.sb_off + k * 9))
-        out.append(np.arange(self.cam_off, self.frame_dim))
+        out.append(np.arange(self.cam_off, self.gdt_off))
+        for k in range(1, self.W):
+            out.append(np.arange(self.gdt_off + (k - 1) * 4,
+                                 self.gdt_off + k * 4))
+        out.append(np.arange(self.gddt_off, self.gddt_off + self.W - 1))
+        out.append(np.arange(self.gyaw_off, self.frame_dim))
         return np.concatenate(out)
 
     def free_mask(
@@ -175,6 +213,9 @@ class WindowLayout:
         landmark_mask: jax.Array | None = None,
         frame_mask: jax.Array | None = None,
         fix_first_pose: bool = False,
+        use_gnss: bool = False,
+        fix_yaw: bool = True,
+        fix_anchor: bool = True,
         dtype=jnp.float32,
     ) -> jax.Array:
         """Build the [D] {0,1} mask of optimizable dims.
@@ -191,6 +232,18 @@ class WindowLayout:
             m[self.td_off] = 0
         if fix_wheel:
             m[self.wext_off:self.wint_off + 3] = 0
+        if not use_gnss:
+            m[self.gdt_off:self.frame_dim] = 0
+        else:
+            # yaw/anchor refined only during GNSS-VI alignment (reference
+            # fixes them once gnss_ready, and always under low speed).
+            # In-window yaw refinement is weakly observable (a ~1 m window
+            # arc vs metre-level pseudorange noise) — velocity matching is
+            # the reliable yaw source, so yaw stays fixed by default.
+            if fix_yaw:
+                m[self.gyaw_off] = 0
+            if fix_anchor:
+                m[self.ganchor_off:self.ganchor_off + 3] = 0
         mask = jnp.asarray(m, dtype)
         if frame_mask is not None:
             fm = frame_mask.astype(dtype)

@@ -1,0 +1,122 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ground_fusion2_tpu.posegraph import brief
+from ground_fusion2_tpu.posegraph.pose_graph import PoseGraph, PoseGraphConfig
+from ground_fusion2_tpu.frontend import klt
+
+
+def make_scene_image(rng, H=240, W=320):
+    img = rng.normal(size=(H, W)).astype(np.float32)
+    x = jnp.asarray(img)
+    for _ in range(3):
+        x = klt._blur(x)
+    x = (x - x.min()) / (x.max() - x.min())
+    return x
+
+
+def corners_of(img, n=48):
+    resp = klt.shi_tomasi(img)
+    uv, score, ok = klt.detect_grid(resp, jnp.zeros((0, 2)), 24, n,
+                                    occupied_mask=jnp.zeros((0,)),
+                                    border=28)
+    return uv, ok
+
+
+def test_brief_descriptor_stability(rng):
+    img = make_scene_image(rng)
+    uv, ok = corners_of(img)
+    d1, s1 = brief.brief_describe(img, uv, ok)
+    # same image: descriptors identical
+    d2, _ = brief.brief_describe(img, uv, ok)
+    assert bool(jnp.all(d1 == d2))
+    # slightly shifted sampling: low Hamming distance to original
+    d3, _ = brief.brief_describe(img, uv + 0.5, ok)
+    ham = np.asarray(brief.hamming(d1, d3))
+    self_d = np.diag(ham)[np.asarray(ok) > 0]
+    assert self_d.mean() < 60, self_d.mean()
+    # different corners: large distance
+    off = np.diag(np.asarray(brief.hamming(d1, jnp.roll(d1, 1, axis=0))))
+    assert off[np.asarray(ok) > 0].mean() > 90
+
+
+def test_global_descriptor_retrieval(rng):
+    imgs = [make_scene_image(np.random.default_rng(s)) for s in range(6)]
+    gds = []
+    for img in imgs:
+        uv, ok = corners_of(img)
+        _, sign = brief.brief_describe(img, uv, ok)
+        gds.append(np.asarray(brief.global_descriptor(sign, ok)))
+    gds = np.stack(gds)
+    # same scene, slightly shifted -> highest similarity
+    img_q = np.asarray(imgs[2])
+    img_q = np.roll(img_q, 2, axis=1)
+    uv, ok = corners_of(jnp.asarray(img_q))
+    _, sign = brief.brief_describe(jnp.asarray(img_q), uv, ok)
+    gq = np.asarray(brief.global_descriptor(sign, ok))
+    sims = gds @ gq
+    assert np.argmax(sims) == 2, sims
+    assert sims[2] > 0.8
+
+
+@pytest.mark.slow
+def test_pose_graph_loop_closes_drift(rng):
+    """Square loop with odometry drift: detection + 4-DoF optimization must
+    pull the end of the loop back onto the start."""
+    cfg = PoseGraphConfig(capacity=128, num_feats=48, skip_recent=10,
+                          sim_thresh=0.6)
+    pg = PoseGraph(cfg)
+
+    # one "scene image" per side-position; revisit position 0 at the end
+    n_kf = 24
+    scene_imgs = [make_scene_image(np.random.default_rng(k))
+                  for k in range(n_kf)]
+    scene_imgs.append(scene_imgs[0])  # loop closes back to scene 0
+
+    # square trajectory, with linear drift in odometry
+    side = 6
+    p_true, yaw_true = [], []
+    for k in range(n_kf + 1):
+        leg = (k // side) % 4
+        s = (k % side) / side * 6.0
+        base = {0: [s, 0], 1: [6, s], 2: [6 - s, 6], 3: [0, 6 - s]}[leg]
+        p_true.append([base[0], base[1], 0.0])
+        yaw_true.append([0.0, np.pi / 2, np.pi, -np.pi / 2][leg])
+    p_true = np.array(p_true)
+    drift = np.linspace(0, 1.0, n_kf + 1)[:, None] * np.array([0.3, 1.0, 0.0])
+    p_odom = p_true + drift
+
+    import jax.numpy as jnp
+    from ground_fusion2_tpu.core import lie as L
+    for k in range(n_kf + 1):
+        img = scene_imgs[k]
+        uv, ok = corners_of(img)
+        norm = (np.asarray(uv) - np.array([160, 120])) / 200.0
+        depth = np.full((uv.shape[0],), 4.0, np.float32)
+        q = np.asarray(L.quat_from_yaw(jnp.asarray(yaw_true[k], jnp.float32)))
+        i = pg.add_keyframe(p_odom[k], q, img, uv, norm, depth,
+                            np.asarray(ok))
+        loop = pg.detect_loop(i)
+    assert pg.loops, "no loop detected"
+    pg.optimize(iters=10)
+
+    # after optimization the revisit keyframe should be near the start
+    end_err = np.linalg.norm(pg.p[n_kf] - p_true[n_kf])
+    raw_err = np.linalg.norm(p_odom[n_kf] - p_true[n_kf])
+    assert end_err < 0.4 * raw_err, (end_err, raw_err)
+
+
+def test_pose_graph_save_load(tmp_path, rng):
+    cfg = PoseGraphConfig(capacity=16, num_feats=32)
+    pg = PoseGraph(cfg)
+    img = make_scene_image(rng)
+    uv, ok = corners_of(img, n=32)
+    norm = (np.asarray(uv) - np.array([160, 120])) / 200.0
+    pg.add_keyframe(np.zeros(3), np.array([1.0, 0, 0, 0]), img, uv, norm,
+                    np.full((32,), 3.0), np.asarray(ok))
+    path = str(tmp_path / "pg.npz")
+    pg.save(path)
+    pg2 = PoseGraph.load(path, cfg)
+    assert pg2.n == 1
+    np.testing.assert_allclose(pg2.gdesc[0], pg.gdesc[0])

@@ -10,6 +10,7 @@ from ground_fusion2_tpu.factors.vio_factors import FeatureTable, imu_sqrt_info
 from ground_fusion2_tpu.sensors.imu_preint import ImuNoise, preintegrate
 from ground_fusion2_tpu.sensors.wheel_preint import WheelNoise, preintegrate_wheel
 from ground_fusion2_tpu.solver.marginalize import MargPrior
+from ground_fusion2_tpu.gnss.factors import GnssTable
 from ground_fusion2_tpu.vio.problem import (
     VioConfig, VioMeasurements, marginalize_oldest, solve_window,
 )
@@ -121,6 +122,7 @@ def build_window(seed=0, perturb=True, pix_noise=0.0, imu_noise=False):
         wheel=wpre, wheel_valid=jnp.ones((W - 1,), jnp.float32),
         wheel_sqrt_info=wsinfo,
         plane_valid=jnp.zeros(()), stationary=jnp.zeros(()),
+        gnss=GnssTable.empty(11), gnss_enabled=jnp.zeros(()),
         prior=MargPrior.empty(layout.frame_dim),
         prior_state=x0,
     )
