@@ -1,0 +1,104 @@
+"""Unified YAML configuration (one source of truth).
+
+The reference splits configuration across three styles with duplicated
+extrinsics (OpenCV-YAML for VINS, yaml-cpp+gflags for LIO, rosparam for mesh
+— SURVEY.md §5.6); here one YAML file configures the whole system. Keys
+mirror the reference's names (``config/realsense/m3dgr.yaml``,
+``lio/config/m3dgr.yaml``) so a reference user can port a dataset config
+mechanically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from ..lio.ct_icp import CtIcpConfig
+from ..lio.odometry import LioConfig
+from ..lio.voxel_map import VoxelMapConfig
+from ..sensors.imu_preint import ImuNoise
+from ..sensors.wheel_preint import WheelNoise
+from ..vio.estimator import EstimatorConfig
+from ..vio.problem import VioConfig
+
+
+@dataclass
+class SystemYamlConfig:
+    """Parsed full-system configuration."""
+
+    estimator: EstimatorConfig
+    lio: LioConfig
+    cam_intrinsics: dict
+    tic: np.ndarray
+    ric: np.ndarray
+    t_il: np.ndarray        # lidar->imu extrinsic
+    r_il: np.ndarray
+    use_lidar: bool
+    use_gnss: bool
+    use_wheel: bool
+    raw: dict
+
+
+def load_config(path: str | Path) -> SystemYamlConfig:
+    raw = yaml.safe_load(Path(path).read_text())
+
+    imu = raw.get("imu", {})
+    imu_noise = ImuNoise(
+        acc_n=imu.get("acc_n", 0.1), gyr_n=imu.get("gyr_n", 0.01),
+        acc_w=imu.get("acc_w", 0.001), gyr_w=imu.get("gyr_w", 0.0001))
+    wheel = raw.get("wheel", {})
+    wheel_noise = WheelNoise(vel_n=wheel.get("vel_n", 0.1),
+                             gyr_n=wheel.get("gyr_n", 0.01))
+
+    cam = raw.get("camera", {})
+    fx = cam.get("fx", 460.0)
+    est_raw = raw.get("estimator", {})
+    use_wheel = bool(raw.get("wheel_enable", 0))
+    use_gnss = bool(raw.get("gnss_enable", 0))
+    vio = VioConfig(
+        num_feats=est_raw.get("max_cnt", 96),
+        proj_sqrt_info=fx / 1.5,
+        max_iters=est_raw.get("max_num_iterations", 8),
+        use_wheel=use_wheel,
+        use_gnss=use_gnss,
+        estimate_extrinsic=bool(est_raw.get("estimate_extrinsic", 0)),
+        estimate_td=bool(est_raw.get("estimate_td", 0)),
+        g_norm=raw.get("g_norm", 9.81))
+    estimator = EstimatorConfig(
+        num_feats=vio.num_feats, vio=vio,
+        imu_noise=imu_noise, wheel_noise=wheel_noise,
+        min_parallax=est_raw.get("keyframe_parallax", 10.0) / fx,
+        use_wheel=use_wheel, use_gnss=use_gnss,
+        g_norm=raw.get("g_norm", 9.81))
+
+    lio_raw = raw.get("lio", {})
+    lio = LioConfig(
+        map_cfg=VoxelMapConfig(
+            voxel_size=lio_raw.get("size_voxel_map", 0.2),
+            max_per_voxel=lio_raw.get("max_num_points_in_voxel", 20),
+            max_range=lio_raw.get("max_distance", 80.0)),
+        icp_cfg=CtIcpConfig(
+            outer_iters=lio_raw.get("num_iters_icp", 5),
+            deg_sigma_min=lio_raw.get("deg_sigma_min", 7.0),
+            deg_sigma_mean=lio_raw.get("deg_sigma_mean", 10.0)),
+        max_keypoints=lio_raw.get("max_num_residuals", 2048),
+        g_norm=raw.get("g_norm", 9.81))
+
+    def mat(key, default):
+        v = raw.get(key)
+        return np.asarray(v, np.float64).reshape(default.shape) \
+            if v is not None else default
+
+    tic = mat("extrinsic_t_cam_imu", np.zeros(3))
+    ric = mat("extrinsic_r_cam_imu", np.eye(3))
+    t_il = mat("extrinsic_t_lidar_imu", np.zeros(3))
+    r_il = mat("extrinsic_r_lidar_imu", np.eye(3))
+
+    return SystemYamlConfig(
+        estimator=estimator, lio=lio,
+        cam_intrinsics=cam, tic=tic, ric=ric, t_il=t_il, r_il=r_il,
+        use_lidar=bool(raw.get("lidar_enable", 1)),
+        use_gnss=use_gnss, use_wheel=use_wheel, raw=raw)
