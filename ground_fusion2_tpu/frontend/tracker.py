@@ -25,6 +25,8 @@ import numpy as np
 from ..core.cameras import Pinhole
 from ..vio.feature_window import FrameObs
 from . import klt
+from .clahe import clahe
+from .ransac import ransac_f_reject
 
 
 @dataclass
@@ -37,6 +39,10 @@ class TrackerConfig:
     cell: int = 30          # reference min_dist 30 px
     min_response: float = 1e-4
     depth_range: tuple = (0.1, 7.0)
+    equalize: bool = False       # CLAHE (reference rosNodeTest.cpp:271-276)
+    use_ransac: bool = False     # F-matrix rejection (feature_tracker.cpp:711)
+    f_thresh_px: float = 1.0     # reference F_threshold (pixels)
+    focal: float = 460.0         # pixel->normalized conversion for f_thresh
 
 
 class FeatureTracker:
@@ -49,6 +55,7 @@ class FeatureTracker:
         self.prev_pyr = None
         self.prev_norm = jnp.zeros((F, 2), jnp.float32)
         self.prev_t = None
+        self._frame_idx = 0
 
     def track(self, t: float, img: jax.Array, depth_img: jax.Array | None = None,
               dyn_mask: jax.Array | None = None) -> FrameObs:
@@ -56,6 +63,8 @@ class FeatureTracker:
         dyn_mask: [H, W] {0,1}, 1 = dynamic region to avoid."""
         cfg = self.cfg
         F = cfg.num_slots
+        if cfg.equalize:
+            img = clahe(img)
         pyr = tuple(klt.build_pyramid(img, cfg.levels))
 
         if self.prev_pyr is not None:
@@ -63,8 +72,18 @@ class FeatureTracker:
                 self.prev_pyr, pyr, self.uv, self.alive,
                 cfg.half_patch, cfg.iters, cfg.fb_thresh)
             alive = self.alive * tracked
+            if cfg.use_ransac:
+                # geometric rejection on continuing tracks (all alive slots
+                # here predate this frame; refill happens below)
+                ray1 = self.cam.lift(pts1)
+                norm1 = ray1[:, :2] / jnp.maximum(ray1[:, 2:3], 1e-6)
+                key = jax.random.PRNGKey(self._frame_idx)
+                alive = ransac_f_reject(
+                    self.prev_norm, norm1, alive, key,
+                    thresh=cfg.f_thresh_px / cfg.focal)
         else:
             pts1, alive = self.uv, jnp.zeros((F,), jnp.float32)
+        self._frame_idx += 1
 
         if dyn_mask is not None:
             inside = klt._bilinear(dyn_mask.astype(jnp.float32), pts1) > 0.5
