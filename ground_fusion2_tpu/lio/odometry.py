@@ -152,6 +152,12 @@ class LidarOdometry:
         switched = self._switch(degenerate, q_lo, t_lo, external_pose)
 
         # --- map update (at the raw LIO pose, like the reference) --------
+        # recenter the packed voxel codes when the pose nears the 10-bit
+        # packing boundary (unbounded extent; reference lasermap_fov_segment
+        # keeps its map local via 500 m eviction, lidarodom.cpp:1268)
+        if vm.needs_recenter(self.vmap, t_lo, cfg.map_cfg):
+            self.vmap = vm.recenter(self.vmap, jnp.asarray(t_lo, jnp.float32),
+                                    cfg.map_cfg)
         self._insert_scan(pts_body, alpha, mask,
                           np.asarray(res.pose.q_begin), np.asarray(res.pose.t_begin),
                           q_lo, t_lo)

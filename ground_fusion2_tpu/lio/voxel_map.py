@@ -116,6 +116,34 @@ def insert(vmap: VoxelMap, new_pts: jax.Array, new_mask: jax.Array,
 
 
 @partial(jax.jit, static_argnums=(2,))
+def recenter(vmap: VoxelMap, center: jax.Array, cfg: VoxelMapConfig
+             ) -> VoxelMap:
+    """Move the packing origin to (voxel-aligned) ``center`` and re-key every
+    stored point — one repack + sort. The 10-bit/axis packing covers
+    ±102.4 m around ``origin`` at 0.2 m voxels; recentering when the pose
+    approaches the boundary gives the map unlimited extent (the reference's
+    map is similarly local via its 500 m eviction,
+    ``lidarodom.cpp:1268`` lasermap_fov_segment)."""
+    # snap to the voxel grid so subcell fractions are preserved exactly
+    new_origin = jnp.floor(center / cfg.voxel_size) * cfg.voxel_size
+    live = vmap.code != INVALID
+    code = jnp.where(
+        live, _pack(_coords(vmap.pts, new_origin, cfg.voxel_size)), INVALID)
+    order = jnp.argsort(code, stable=True)
+    return VoxelMap(pts=vmap.pts[order], code=code[order], origin=new_origin)
+
+
+def needs_recenter(vmap: VoxelMap, center, cfg: VoxelMapConfig,
+                   margin_frac: float = 0.5) -> bool:
+    """Host-side trigger: pose farther than ``margin_frac`` of the packing
+    half-extent from the map origin."""
+    import numpy as np
+    half_extent = HALF * cfg.voxel_size
+    d = np.abs(np.asarray(center) - np.asarray(vmap.origin))
+    return bool(d.max() > margin_frac * half_extent)
+
+
+@partial(jax.jit, static_argnums=(2,))
 def evict_far(vmap: VoxelMap, center: jax.Array, cfg: VoxelMapConfig
               ) -> VoxelMap:
     """Drop points beyond ``max_range`` of ``center`` (reference

@@ -84,6 +84,49 @@ def test_lio_corridor_switch():
 
 
 @pytest.mark.slow
+def test_lio_long_trajectory_recenters():
+    """>60 m of travel at 0.2 m voxels pushes the pose past the recentering
+    margin (0.5 * 102.4 m half-extent); the map must re-key and tracking
+    must survive with no map loss (VoxelMap.recenter; the reference's
+    unbounded-extent analog is lasermap_fov_segment)."""
+    from ground_fusion2_tpu.data.render import RectLidar, make_long_hall_scene
+
+    rects = make_long_hall_scene(length=90.0, pillar_every=6.0)
+    lidar = RectLidar(rects, n_rays=2048, noise=0.005, seed=0)
+    cfg = LioConfig(
+        map_cfg=vm.VoxelMapConfig(capacity=1 << 15, max_range=40.0),
+        icp_cfg=CtIcpConfig(outer_iters=5),
+        static_init_samples=int(0.5 * 200))
+    lo = LidarOdometry(cfg)
+    # manufacture the boundary crossing quickly: drive fast (6 m/s)
+    traj = sim.make_planar_trajectory(duration=13.0, imu_rate=200.0,
+                                      speed=6.0, yaw_rate=0.0,
+                                      static_time=1.0, ramp_time=1.0)
+    traj.p[:, 2] += 1.0
+    rng = np.random.default_rng(0)
+    spf = 20
+    outs, gt = [], []
+    for k in range(int(13.0 * 10) - 1):
+        i0, i1 = k * spf, (k + 1) * spf
+        pts, alpha, valid = lidar.scan(traj.p[i0], traj.q[i0],
+                                       traj.p[i1], traj.q[i1], rng=rng)
+        imu = (traj.acc_body[i0:i1 + 1], traj.gyr_body[i0:i1 + 1],
+               np.full((spf,), 0.005, np.float32))
+        out = lo.process_scan(traj.t[i1], pts, alpha, valid, imu)
+        if out is not None:
+            outs.append(out)
+            gt.append(traj.p[i1].copy())
+    assert gt[-1][0] > 60.0, "trajectory too short to cross the margin"
+    assert float(np.asarray(lo.vmap.origin)[0]) > 10.0, \
+        "recentering never fired"
+    off = gt[0] - outs[0].p_lio
+    errs = [np.linalg.norm(o.p_lio + off - g) for o, g in zip(outs, gt)]
+    # no map loss: error stays bounded through the recenter events
+    assert max(errs) < 1.0, max(errs)
+    assert errs[-1] < 0.8, errs[-1]
+
+
+@pytest.mark.slow
 def test_lio_switch_back_continuity():
     # room -> corridor -> room: switch to VIO inside the corridor segment
     # and back to LIO when geometry returns; fused stays continuous.
