@@ -41,12 +41,14 @@ def run_synthetic_sequence(
     num_feats: int = 96,
     num_landmarks: int = 600,
     seed: int = 0,
+    static_time: float = 1.5,
+    ramp_time: float = 1.0,
     cfg: EstimatorConfig | None = None,
 ) -> SequenceResult:
     rng = np.random.default_rng(seed)
     traj = sim.make_planar_trajectory(
         duration=duration, imu_rate=imu_rate, speed=speed, yaw_rate=yaw_rate,
-        wobble=0.03, static_time=1.5, ramp_time=1.0)
+        wobble=0.03, static_time=static_time, ramp_time=ramp_time)
     lms = sim.make_landmarks(traj, n=num_landmarks, seed=seed)
     cam = sim.CameraSim()
     tracker = sim.SimTracker(num_feats, lms.pts, cam, pix_noise=pix_noise,

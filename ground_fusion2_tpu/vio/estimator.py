@@ -59,12 +59,19 @@ class EstimatorConfig:
     static_acc_var: float = 0.35         # excitation gate (reference :1641)
     stationary_dp: float = 0.01          # stationary detectors
     stationary_parallax: float = 0.5 / 460.0
+    stationary_imu_var: float = 0.05     # checkimuexcited (reference :2190)
+    min_tracked_reboot: int = 8          # visual failure ⇒ reboot (:1193-1201)
+    allow_reboot: bool = True
     use_wheel: bool = False
     use_gnss: bool = False
     gnss_low_speed: float = 0.3          # reference estimator.cpp:2968
     gnss_align_min_epochs: int = 5
     gnss_align_min_speed: float = 0.4
     gnss_refine_ticks: int = 15
+    gnss_psr_std_thres: float = 2.0      # ingest filters (reference :1550-1578)
+    gnss_dopp_std_thres: float = 2.0
+    gnss_elev_thres_deg: float = 30.0
+    gnss_track_thres: int = 5
     g_norm: float = 9.81
 
     def __post_init__(self):
@@ -86,6 +93,7 @@ class VioOutput(NamedTuple):
     wheel_anomaly: bool
     tracked: int
     cost: float
+    rebooted: bool = False
 
 
 class _IntervalBuffers:
@@ -190,6 +198,12 @@ class VioEstimator:
         self.times: list[float] = []
         self.g_world = jnp.asarray([0, 0, -cfg.g_norm], jnp.float32)
         # GNSS state (reference gnss_ready / GNSSVIAlign)
+        from ..gnss.factors import GnssQualityFilter
+        self.gnss_filter = GnssQualityFilter(
+            psr_std_thres=cfg.gnss_psr_std_thres,
+            dopp_std_thres=cfg.gnss_dopp_std_thres,
+            elev_thres_deg=cfg.gnss_elev_thres_deg,
+            track_thres=cfg.gnss_track_thres)
         self.gnss_frames: list = [None] * NUM_FRAMES   # per-column epoch meas
         self.gnss_ready = False
         self.gnss_anchor = None          # ECEF anchor for prereduction
@@ -210,6 +224,16 @@ class VioEstimator:
         if wheel_vel is None:
             wheel_vel = np.zeros_like(acc)
 
+        # visual-failure reboot (reference failureDetection -> clearState +
+        # setParameter, ``estimator.cpp:1193-1201``; /vins_restart topic
+        # ``rosNodeTest.cpp:621-636``): if tracking has collapsed, restart
+        # the estimator from scratch at the current pose.
+        rebooted = False
+        if (self.initialized and cfg.allow_reboot
+                and int(np.asarray(obs.alive).sum()) < cfg.min_tracked_reboot):
+            self._reboot()
+            rebooted = True
+
         first = self.frame_count == 0
         if not first:
             col = min(self.frame_count, W - 1)
@@ -220,6 +244,8 @@ class VioEstimator:
         else:
             col = 0
 
+        if gnss_meas:
+            gnss_meas = self.gnss_filter.filter(gnss_meas)
         self.gnss_frames[col] = gnss_meas
         self.fw, rho = fwin.add_frame(
             self.fw, obs, col, self.state.rho)
@@ -231,7 +257,7 @@ class VioEstimator:
 
         if first:
             self.frame_count = 1
-            return self._output(t, 0, False, False, False)
+            return self._output(t, 0, False, False, False, rebooted)
 
         # predict the new frame's state by IMU propagation from col-1
         self._predict_frame(col)
@@ -330,10 +356,10 @@ class VioEstimator:
         if self.frame_count < W:
             self.frame_count += 1
 
-        return self._output(t, cost, is_kf, stationary, anomaly)
+        return self._output(t, cost, is_kf, stationary, anomaly, rebooted)
 
     # ------------------------------------------------------------------
-    def _output(self, t, cost, is_kf, stationary, anomaly):
+    def _output(self, t, cost, is_kf, stationary, anomaly, rebooted=False):
         idx = min(self.frame_count, NUM_FRAMES) - 1
         tracked = int(jnp.sum(self.fw.track_valid))
         return VioOutput(
@@ -344,7 +370,34 @@ class VioEstimator:
             initialized=self.initialized,
             is_keyframe=is_kf, stationary=stationary,
             wheel_anomaly=anomaly, tracked=tracked, cost=cost,
+            rebooted=rebooted,
         )
+
+    def _reboot(self):
+        """Window restart after visual failure. Unlike the reference's
+        ``clearState`` (which restarts at the origin and re-runs init), the
+        restarted window is seeded from the latest solved state so the
+        published trajectory stays continuous; everything else — features,
+        prior, interval buffers — is dropped."""
+        idx = min(self.frame_count, NUM_FRAMES) - 1
+        F = self.cfg.num_feats
+        st = self.state
+        keep = lambda a: jnp.tile(a[idx][None], (NUM_FRAMES,) + (1,) * (a.ndim - 1))
+        self.state = WindowState.identity(F)._replace(
+            p=keep(st.p), q=keep(st.q), v=keep(st.v),
+            ba=keep(st.ba), bg=keep(st.bg),
+            tic=st.tic, qic=st.qic, td=st.td,
+            tio=st.tio, qio=st.qio, six=st.six, siy=st.siy, siw=st.siw)
+        self.fw = fwin.FeatureWindow.empty(F)
+        self.rho_init = jnp.zeros((F,), jnp.float32)
+        self.bufs = _IntervalBuffers(NUM_FRAMES - 1)
+        self.imu_valid[:] = 0.0
+        self.wheel_valid[:] = 0.0
+        self.prior = MargPrior.empty(self.layout.frame_dim)
+        self.prior_state = self.state
+        self.frame_count = 0
+        self.times = []
+        self.gnss_frames = [None] * NUM_FRAMES
 
     def _predict_frame(self, col):
         k = col - 1
@@ -371,21 +424,44 @@ class VioEstimator:
             self.cfg.imu_noise, self.cfg.wheel_noise)
 
     def _detectors(self, pre, wpre):
-        """Wheel-vs-IMU anomaly + stationary detection on the latest interval
-        (reference ``estimator.cpp:681-705`` and ``checkimu``/``checkvisual``)."""
+        """Degradation detector suite on the latest interval, mirroring the
+        reference's five stationary/anomaly checks:
+
+        * wheel-vs-IMU preintegrated displacement anomaly — compares the
+          displacement *vectors*, not norms (``estimator.cpp:685-688``);
+        * wheel stationary (tiny wheel translation, ``:690-705``);
+        * IMU-preintegration stationary (``checkimu``, ``:2234``);
+        * IMU-excitation variance (``checkimuexcited``, ``:2190``);
+        * visual-parallax stationary (``checkvisual``, ``:2282``);
+
+        fused into the system stationary flag (``:923-949``)."""
+        cfg = self.cfg
         k = -1
-        dp_imu = float(jnp.linalg.norm(pre.dp[k]))
-        dp_whl = float(jnp.linalg.norm(wpre.dp[k]))
-        anomaly = bool(self.cfg.use_wheel
-                       and abs(dp_whl - dp_imu) > self.cfg.wheel_anomaly_thresh
+        dp_imu = np.asarray(pre.dp[k])
+        dp_whl = np.asarray(wpre.dp[k])
+        anomaly = bool(cfg.use_wheel
+                       and np.linalg.norm(dp_whl - dp_imu) > cfg.wheel_anomaly_thresh
                        and self.imu_valid[k] > 0)
-        # stationary: tiny wheel translation + tiny visual parallax
+        # (1) wheel stationary
+        wheel_static = (np.linalg.norm(dp_whl) < cfg.stationary_dp
+                        if cfg.use_wheel else True)
+        # (2) IMU-preintegration stationary
+        imu_static = np.linalg.norm(dp_imu) < 5 * cfg.stationary_dp
+        # (3) IMU-excitation variance over the interval's raw accel samples
+        m = self.bufs.mask[k] > 0
+        nsamp = int(m.sum())
+        if nsamp >= 5:
+            acc = self.bufs.acc[k][: nsamp + 1]
+            acc_var = float(np.linalg.norm(np.var(acc, axis=0)))
+            imu_excited = acc_var > cfg.stationary_imu_var
+        else:
+            imu_excited = True
+        # (4) visual-parallax stationary
         _, par, n_co = fwin.parallax_keyframe_test(self.fw, 1e9)
-        visual_static = float(par) < self.cfg.stationary_parallax and int(n_co) > 10
-        wheel_static = dp_whl < self.cfg.stationary_dp if self.cfg.use_wheel else True
-        imu_static = dp_imu < 5 * self.cfg.stationary_dp
+        visual_static = float(par) < cfg.stationary_parallax and int(n_co) > 10
+        # (5) system fusion
         stationary = bool(visual_static and wheel_static and imu_static
-                          and self.initialized)
+                          and not imu_excited and self.initialized)
         return anomaly, stationary
 
     def _try_initialize(self):
@@ -399,8 +475,11 @@ class VioEstimator:
         gyr0 = self.bufs.gyr[0][: int(m0.sum()) + 1]
         acc_var = float(np.linalg.norm(np.var(acc0, axis=0)))
         if acc_var > cfg.static_acc_var:
-            # robot moving at start: defer (excitation-based init is the
-            # dynamic path; static sequences—the shipped configs—start still)
+            # robot moving at start: dynamic initialization (the reference's
+            # initialStructure SfM + VI-alignment path,
+            # ``estimator.cpp:1610-1903``) via depth-seeded Kabsch chain +
+            # gyro-bias solve + gravity/velocity alignment.
+            self._try_dynamic_initialize()
             return
         bg = gyr0.mean(axis=0)
         acc_mean = acc0.mean(axis=0)
@@ -419,6 +498,25 @@ class VioEstimator:
         # propagate each subsequent frame from the previous with the new biases
         for col in range(1, self.frame_count):
             self._predict_frame(col)
+        self.prior_state = self.state
+        self.initialized = True
+
+    def _try_dynamic_initialize(self):
+        from .initializer import try_dynamic_init
+        cfg = self.cfg
+        res = try_dynamic_init(
+            self.fw, self.bufs, cfg.imu_noise,
+            np.asarray(self.state.tic),
+            np.asarray(lie.quat_to_mat(self.state.qic)),
+            cfg.g_norm)
+        if res is None:
+            return
+        st = self.state
+        self.state = st._replace(
+            p=jnp.asarray(res.p), q=jnp.asarray(res.q), v=jnp.asarray(res.v),
+            ba=jnp.zeros_like(st.ba),
+            bg=jnp.tile(jnp.asarray(res.bg)[None], (NUM_FRAMES, 1)),
+        )
         self.prior_state = self.state
         self.initialized = True
 

@@ -30,6 +30,22 @@ def test_vio_e2e_noisy():
 
 
 @pytest.mark.slow
+def test_vio_e2e_dynamic_init():
+    """In-motion start (speed ramps from t=0, no static prefix): the dynamic
+    initializer (depth-seeded Kabsch + VI alignment, reference
+    ``estimator.cpp:1610-1903``) must bootstrap and converge."""
+    res = run_synthetic_sequence(duration=10.0, pix_noise=0.5 / 460.0,
+                                 imu_noise=True, seed=7,
+                                 static_time=0.0, ramp_time=0.4)
+    init = [i for i, o in enumerate(res.outputs) if o.initialized]
+    assert init, "dynamic init never fired"
+    assert init[0] < 25, f"init too late: frame {init[0]}"
+    s = init[0]
+    ate = ate_rmse(res.est_p[s:], res.gt_p[s:], align=True)
+    assert ate < 0.10, f"ATE {ate:.3f} m"
+
+
+@pytest.mark.slow
 def test_vio_e2e_stationary_start_no_drift():
     res = run_synthetic_sequence(duration=8.0, speed=0.0, yaw_rate=0.0,
                                  pix_noise=0.5 / 460.0, imu_noise=True, seed=5)
