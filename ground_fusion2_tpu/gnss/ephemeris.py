@@ -65,15 +65,82 @@ class Ephemeris:
     tgd: float = 0.0
 
 
+WEEK_SECONDS = 604800.0
+
+
+def _week_rollover(dt: float) -> float:
+    """Wrap a time-of-week difference into ±half a week (reference
+    ``gnss_utility.cpp:453-456``): toe is stored as seconds-of-week, so a
+    measurement taken just across a week boundary would otherwise see a
+    ~604800 s extrapolation."""
+    if dt > WEEK_SECONDS / 2:
+        return dt - WEEK_SECONDS
+    if dt < -WEEK_SECONDS / 2:
+        return dt + WEEK_SECONDS
+    return dt
+
+
+def _bds_geo_prn(sat: int) -> bool:
+    """BDS GEO satellites (C01-C05 + C59-C63) need the tilted-frame orbit
+    evaluation (reference ``gnss_utility.cpp:501-508``)."""
+    if satsys(sat) != SYS_BDS:
+        return False
+    prn = sat - 95          # BDS sats are 96..141 in the compressed numbering
+    return prn <= 5 or prn >= 59
+
+
+def _kepler_pos(t: float, eph: Ephemeris, mu: float, omge: float) -> np.ndarray:
+    """Position-only Kepler evaluation (used for GEO numeric velocity)."""
+    tk = _week_rollover(t - eph.toe)
+    n = np.sqrt(mu / eph.A**3) + eph.delta_n
+    M = eph.M0 + n * tk
+    E = M
+    for _ in range(30):
+        dE = (E - eph.e * np.sin(E) - M) / (1.0 - eph.e * np.cos(E))
+        E -= dE
+        if abs(dE) < 1e-13:
+            break
+    sE, cE = np.sin(E), np.cos(E)
+    nu = np.arctan2(np.sqrt(1 - eph.e**2) * sE, cE - eph.e)
+    phi = nu + eph.omg
+    s2p, c2p = np.sin(2 * phi), np.cos(2 * phi)
+    u = phi + eph.cus * s2p + eph.cuc * c2p
+    r = eph.A * (1 - eph.e * cE) + eph.crs * s2p + eph.crc * c2p
+    i = eph.i0 + eph.i_dot * tk + eph.cis * s2p + eph.cic * c2p
+    x_orb, y_orb = r * np.cos(u), r * np.sin(u)
+    si, ci = np.sin(i), np.cos(i)
+    if _bds_geo_prn(eph.sat):
+        OMG = eph.OMG0 + eph.OMG_dot * tk - omge * eph.toe
+        sO, cO = np.sin(OMG), np.cos(OMG)
+        xg = x_orb * cO - y_orb * ci * sO
+        yg = x_orb * sO + y_orb * ci * cO
+        zg = y_orb * si
+        so, co = np.sin(omge * tk), np.cos(omge * tk)
+        c5, s5 = np.cos(np.deg2rad(-5.0)), np.sin(np.deg2rad(-5.0))
+        return np.array([
+            xg * co + yg * so * c5 + zg * so * s5,
+            -xg * so + yg * co * c5 + zg * co * s5,
+            -yg * s5 + zg * c5,
+        ])
+    OMG = eph.OMG0 + (eph.OMG_dot - omge) * tk - omge * eph.toe
+    sO, cO = np.sin(OMG), np.cos(OMG)
+    return np.array([
+        x_orb * cO - y_orb * ci * sO,
+        x_orb * sO + y_orb * ci * cO,
+        y_orb * si,
+    ])
+
+
 def eph2pos(t: float, eph: Ephemeris):
     """Satellite ECEF position, velocity, clock bias and drift at time t
-    (Kepler solve; mirrors reference ``eph2pos``/``eph2vel``)."""
+    (Kepler solve; mirrors reference ``eph2pos``/``eph2vel``, incl. the week
+    rollover guard and the BDS-GEO tilted-frame branch)."""
     sys = satsys(eph.sat)
     mu = {SYS_GPS: MU_GPS, SYS_GAL: MU_GAL, SYS_BDS: MU_BDS}.get(sys, MU_GPS)
     omge = {SYS_GPS: OMGE_GPS, SYS_GAL: OMGE_GAL, SYS_BDS: OMGE_BDS}.get(
         sys, OMGE_GPS)
 
-    tk = t - eph.toe
+    tk = _week_rollover(t - eph.toe)
     n0 = np.sqrt(mu / eph.A**3)
     n = n0 + eph.delta_n
     M = eph.M0 + n * tk
@@ -99,8 +166,34 @@ def eph2pos(t: float, eph: Ephemeris):
 
     x_orb = r * np.cos(u)
     y_orb = r * np.sin(u)
-    sO, cO = np.sin(OMG), np.cos(OMG)
     si, ci = np.sin(i), np.cos(i)
+    if _bds_geo_prn(eph.sat):
+        # GEO: longitude of node without earth rotation, then rotate the
+        # whole frame by Rz(omge*tk) Rx(-5 deg)
+        OMG = eph.OMG0 + eph.OMG_dot * tk - omge * eph.toe
+        sO, cO = np.sin(OMG), np.cos(OMG)
+        xg = x_orb * cO - y_orb * ci * sO
+        yg = x_orb * sO + y_orb * ci * cO
+        zg = y_orb * si
+        so, co = np.sin(omge * tk), np.cos(omge * tk)
+        c5, s5 = np.cos(np.deg2rad(-5.0)), np.sin(np.deg2rad(-5.0))
+        pos = np.array([
+            xg * co + yg * so * c5 + zg * so * s5,
+            -xg * so + yg * co * c5 + zg * co * s5,
+            -yg * s5 + zg * c5,
+        ])
+        # velocity numerically (the tilted rotating frame makes the analytic
+        # form unwieldy; 1 s central difference is ~1e-5 m/s accurate)
+        eps = 0.5
+        p_m = _kepler_pos(t - eps, eph, mu, omge)
+        p_p = _kepler_pos(t + eps, eph, mu, omge)
+        vel = (p_p - p_m) / (2 * eps)
+        dt_c = _week_rollover(t - eph.toc)
+        clk = eph.af0 + eph.af1 * dt_c + eph.af2 * dt_c * dt_c
+        clk += -2.0 * np.sqrt(mu * eph.A) * eph.e * sE / SPEED_OF_LIGHT**2
+        clk_drift = eph.af1 + 2 * eph.af2 * dt_c
+        return pos, vel, clk, clk_drift
+    sO, cO = np.sin(OMG), np.cos(OMG)
     pos = np.array([
         x_orb * cO - y_orb * ci * sO,
         x_orb * sO + y_orb * ci * cO,
@@ -125,7 +218,7 @@ def eph2pos(t: float, eph: Ephemeris):
         y_od * si + y_orb * ci * i_dot_t,
     ])
 
-    dt_c = t - eph.toc
+    dt_c = _week_rollover(t - eph.toc)
     clk = eph.af0 + eph.af1 * dt_c + eph.af2 * dt_c * dt_c
     # relativistic correction
     clk += -2.0 * np.sqrt(mu * eph.A) * eph.e * sE / SPEED_OF_LIGHT**2

@@ -39,6 +39,39 @@ from .spp import GnssMeas, _sagnac
 MAX_SATS = 16   # per-frame satellite slots
 
 
+class GnssQualityFilter:
+    """Measurement quality gating on the ingest path (the reference filters
+    inside ``processGNSS``, ``estimator.cpp:1550-1578``): psr/dopp standard
+    deviation thresholds, elevation mask, and a per-satellite consecutive
+    track count so newly risen satellites must prove themselves first."""
+
+    def __init__(self, psr_std_thres: float = 2.0, dopp_std_thres: float = 2.0,
+                 elev_thres_deg: float = 30.0, track_thres: int = 5):
+        self.psr_std_thres = psr_std_thres
+        self.dopp_std_thres = dopp_std_thres
+        self.elev_min = np.deg2rad(elev_thres_deg)
+        self.track_thres = track_thres
+        self._track: dict[int, int] = {}
+
+    def filter(self, meas: list[GnssMeas]) -> list[GnssMeas]:
+        new_track: dict[int, int] = {}
+        out = []
+        for m in meas:
+            n = self._track.get(m.sat, 0) + 1
+            new_track[m.sat] = n
+            if m.psr_std > self.psr_std_thres:
+                continue
+            if m.dopp_std > self.dopp_std_thres:
+                continue
+            if m.azel[1] < self.elev_min:
+                continue
+            if n < self.track_thres:
+                continue
+            out.append(m)
+        self._track = new_track
+        return out
+
+
 class GnssTable(NamedTuple):
     """Prereduced per-window GNSS observations, fixed [W, S] shapes."""
 

@@ -37,10 +37,16 @@ class GlobalGraph(NamedTuple):
     rel_dp: jax.Array     # [N-1, 3] in frame of node i
     rel_dq: jax.Array     # [N-1, 4]
     rel_valid: jax.Array  # [N-1]
-    # absolute position anchors (GPS in local-cartesian, or tag)
+    # absolute position anchors (GPS in local-cartesian)
     anchor_p: jax.Array   # [N, 3]
     anchor_std: jax.Array  # [N]
     anchor_valid: jax.Array  # [N]
+    # absolute 6-DoF pose anchors (AprilTag odometry, reference
+    # globalOptNode.cpp:133-135 inputAprilTag)
+    tag_p: jax.Array      # [N, 3]
+    tag_q: jax.Array      # [N, 4]
+    tag_std: jax.Array    # [N]
+    tag_valid: jax.Array  # [N]
 
     @staticmethod
     def empty(capacity: int, dtype=jnp.float32) -> "GlobalGraph":
@@ -54,7 +60,11 @@ class GlobalGraph(NamedTuple):
             rel_valid=jnp.zeros((n - 1,), dtype),
             anchor_p=jnp.zeros((n, 3), dtype),
             anchor_std=jnp.ones((n,), dtype),
-            anchor_valid=jnp.zeros((n,), dtype))
+            anchor_valid=jnp.zeros((n,), dtype),
+            tag_p=jnp.zeros((n, 3), dtype),
+            tag_q=lie.quat_identity((n,), dtype),
+            tag_std=jnp.ones((n,), dtype),
+            tag_valid=jnp.zeros((n,), dtype))
 
 
 def _graph_residuals(g: GlobalGraph, delta, rel_weight_t=10.0,
@@ -77,8 +87,16 @@ def _graph_residuals(g: GlobalGraph, delta, rel_weight_t=10.0,
     r_a = (p - g.anchor_p) / jnp.maximum(g.anchor_std, 1e-3)[:, None]
     w_a = jnp.repeat(g.anchor_valid[:, None], 3, axis=1)
 
-    r = jnp.concatenate([r_t.reshape(-1), r_r.reshape(-1), r_a.reshape(-1)])
-    w = jnp.concatenate([w_rel.reshape(-1), w_rel.reshape(-1), w_a.reshape(-1)])
+    # 6-DoF tag anchors
+    inv_std = 1.0 / jnp.maximum(g.tag_std, 1e-3)[:, None]
+    r_tp = (p - g.tag_p) * inv_std
+    r_tq = lie.quat_boxminus(q, g.tag_q) * inv_std * 10.0
+    w_tag = jnp.repeat(g.tag_valid[:, None], 3, axis=1)
+
+    r = jnp.concatenate([r_t.reshape(-1), r_r.reshape(-1), r_a.reshape(-1),
+                         r_tp.reshape(-1), r_tq.reshape(-1)])
+    w = jnp.concatenate([w_rel.reshape(-1), w_rel.reshape(-1), w_a.reshape(-1),
+                         w_tag.reshape(-1), w_tag.reshape(-1)])
     return r, w
 
 
@@ -148,6 +166,16 @@ class GlobalFusion:
             anchor_p=g.anchor_p.at[idx].set(jnp.asarray(enu_pos, jnp.float32)),
             anchor_std=g.anchor_std.at[idx].set(std),
             anchor_valid=g.anchor_valid.at[idx].set(1.0))
+
+    def input_tag_pose(self, idx: int, p_global, q_global, std: float = 0.1):
+        """Attach an AprilTag absolute 6-DoF pose anchor to node idx
+        (reference ``inputAprilTag``, ``globalOpt.cpp:43-105``)."""
+        g = self.graph
+        self.graph = g._replace(
+            tag_p=g.tag_p.at[idx].set(jnp.asarray(p_global, jnp.float32)),
+            tag_q=g.tag_q.at[idx].set(jnp.asarray(q_global, jnp.float32)),
+            tag_std=g.tag_std.at[idx].set(std),
+            tag_valid=g.tag_valid.at[idx].set(1.0))
 
     def optimize(self, iters: int = 6):
         self.graph = optimize_graph(self.graph, iters)
