@@ -65,6 +65,7 @@ def load_config(path: str | Path) -> SystemYamlConfig:
         use_wheel=use_wheel,
         use_gnss=use_gnss,
         estimate_extrinsic=bool(est_raw.get("estimate_extrinsic", 0)),
+        extrinsic_type=int(est_raw.get("extrinsic_type", 3)),
         estimate_td=bool(est_raw.get("estimate_td", 0)),
         g_norm=raw.get("g_norm", 9.81))
     estimator = EstimatorConfig(

@@ -36,6 +36,7 @@ class VioConfig(NamedTuple):
     use_plane: bool = False
     plane_weight: float = 10.0
     estimate_extrinsic: bool = False
+    extrinsic_type: int = 0           # reference m3dgr.yaml:41-45 (3 = no z)
     estimate_td: bool = False
     use_gnss: bool = False
     refine_gnss_alignment: bool = False   # anchor free (during VI align)
@@ -145,6 +146,7 @@ def solve_window(
         use_gnss=cfg.use_gnss,
         fix_yaw=not cfg.refine_gnss_yaw,
         fix_anchor=not cfg.refine_gnss_alignment,
+        extrinsic_type=cfg.extrinsic_type,
     )
     # gauge: if neither a prior nor active GNSS anchors the window, pin
     # frame-0 pose (GNSS observes absolute position/yaw, so pinning would
@@ -197,7 +199,8 @@ def marginalize_oldest(
         fix_td=not cfg.estimate_td,
         fix_wheel=True,
         use_gnss=cfg.use_gnss,
-        fix_yaw=True, fix_anchor=True)
+        fix_yaw=True, fix_anchor=True,
+        extrinsic_type=cfg.extrinsic_type)
     H = H * fixed[:, None] * fixed[None, :]
     g = g * fixed
 

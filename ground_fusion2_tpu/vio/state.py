@@ -216,6 +216,7 @@ class WindowLayout:
         use_gnss: bool = False,
         fix_yaw: bool = True,
         fix_anchor: bool = True,
+        extrinsic_type: int = 0,
         dtype=jnp.float32,
     ) -> jax.Array:
         """Build the [D] {0,1} mask of optimizable dims.
@@ -224,10 +225,23 @@ class WindowLayout:
         and RGB-D depth-frozen features, reference estimate_flag==1).
         ``frame_mask`` [W]: 0 freezes a frame's pose+speedbias (stationary
         freeze, reference ``estimator.cpp:3294-3324``).
+        ``extrinsic_type``: which extrinsic dims stay free when estimating
+        (reference ``extrinsic_type``, m3dgr.yaml:41-45 / pose-subset local
+        parameterizations): 0 all, 1 translation only, 2 rotation only,
+        3 no z (planar motion leaves t_z unobservable), 4 translation-xy only.
         """
         m = np.ones((self.dim,), dtype=np.float32)
         if fix_extrinsic:
             m[self.cam_off:self.cam_off + 6] = 0
+        else:
+            if extrinsic_type == 1:      # only translation
+                m[self.cam_off + 3:self.cam_off + 6] = 0
+            elif extrinsic_type == 2:    # only rotation
+                m[self.cam_off:self.cam_off + 3] = 0
+            elif extrinsic_type == 3:    # no z
+                m[self.cam_off + 2] = 0
+            elif extrinsic_type == 4:    # no rotation, no z
+                m[self.cam_off + 2:self.cam_off + 6] = 0
         if fix_td:
             m[self.td_off] = 0
         if fix_wheel:

@@ -22,7 +22,8 @@ IMU_RATE = 200.0
 SPP = int(KF_DT * IMU_RATE)  # imu samples per keyframe interval
 
 
-def build_window(seed=0, perturb=True, pix_noise=0.0, imu_noise=False):
+def build_window(seed=0, perturb=True, pix_noise=0.0, imu_noise=False,
+                 td_true=0.0, depth_fix_all=False):
     rng = np.random.default_rng(seed)
     traj = sim.make_planar_trajectory(duration=10.0, yaw_rate=0.4, wobble=0.05)
     lms = sim.make_landmarks(traj, n=400, seed=seed)
@@ -32,13 +33,20 @@ def build_window(seed=0, perturb=True, pix_noise=0.0, imu_noise=False):
     kf_idx = [int(i * SPP) for i in range(W)]
 
     # --- camera observations -> feature table -------------------------
+    # td simulation: observations are taken at t + td_true (the image clock
+    # lags the IMU clock); the factor's td state must absorb it.
+    td_samples = int(round(td_true * IMU_RATE))
     obs_uv = np.zeros((W, lms.pts.shape[0], 2))
     obs_z = np.zeros((W, lms.pts.shape[0]))
     obs_ok = np.zeros((W, lms.pts.shape[0]), dtype=bool)
+    obs_vel = np.zeros((W, lms.pts.shape[0], 2))
     for k, i in enumerate(kf_idx):
-        uv, z, ok = cam.observe(traj.p[i], traj.q[i], lms.pts,
+        io = min(i + td_samples, traj.t.shape[0] - 2)
+        uv, z, ok = cam.observe(traj.p[io], traj.q[io], lms.pts,
                                 noise=pix_noise, rng=rng)
-        obs_uv[k], obs_z[k], obs_ok[k] = uv, z, ok
+        uv1, _, ok1 = cam.observe(traj.p[io + 1], traj.q[io + 1], lms.pts)
+        obs_uv[k], obs_z[k], obs_ok[k] = uv, z, ok & ok1
+        obs_vel[k] = (uv1 - uv) * IMU_RATE     # normalized-plane velocity
 
     n_obs = obs_ok.sum(axis=0)
     good = np.where(n_obs >= 4)[0]
@@ -57,8 +65,11 @@ def build_window(seed=0, perturb=True, pix_noise=0.0, imu_noise=False):
         anchor[s] = frames[0]
         tvalid[s] = 1.0
         ray[s, frames] = obs_uv[frames, li]
+        vel[s, frames] = obs_vel[frames, li]
         ovalid[s, frames] = 1.0
         rho_true[s] = 1.0 / obs_z[frames[0], li]
+        if depth_fix_all:
+            dfixed[s] = 1.0
 
     feats = FeatureTable(
         ray=jnp.asarray(ray), vel=jnp.asarray(vel),
