@@ -126,7 +126,10 @@ def reduced_normal_equations(x, feats, layout, cfg, axis_name="f", lam=0.0):
 
 
 def _dense_residuals(x, meas: VioMeasurements, layout, cfg, delta_f):
-    """Replicated (IMU + wheel + prior) residual stack over frame dims."""
+    """Replicated (IMU + wheel + plane + GNSS + prior) residual stack over
+    frame dims — the full non-projection factor set of ``solve_window``."""
+    from ..gnss.factors import gnss_residuals
+
     x2 = _frame_retract(layout, x, delta_f, x.rho)
     g_world = jnp.asarray([0.0, 0.0, -cfg.g_norm], x.p.dtype)
     r_imu, w_imu = fac.imu_residuals(
@@ -138,6 +141,14 @@ def _dense_residuals(x, meas: VioMeasurements, layout, cfg, delta_f):
             x2, meas.wheel, meas.wheel_sqrt_info, meas.wheel_valid)
         parts_r.append(r_w.reshape(-1))
         parts_w.append(w_w.reshape(-1))
+    if cfg.use_plane:
+        r_pl, w_pl = fac.plane_residuals(x2, cfg.plane_weight, meas.plane_valid)
+        parts_r.append(r_pl.reshape(-1))
+        parts_w.append(w_pl.reshape(-1))
+    if cfg.use_gnss:
+        r_g, w_g = gnss_residuals(x2, meas.gnss, meas.gnss_enabled)
+        parts_r.append(r_g)
+        parts_w.append(w_g)
     dxf = layout.boxminus_frames(x2, meas.prior_state)
     r_p, w_p = meas.prior.residual(dxf)
     parts_r.append(r_p)
@@ -182,10 +193,19 @@ def gn_step(x: WindowState, meas: VioMeasurements, layout: WindowLayout,
     H = H_red + J_d.T @ J_d
     g = g_red + J_d.T @ r_d
 
-    # gauge handling mirrors solve_window: pin frame-0 pose if no prior
+    # gauge + fixed-dim handling mirrors solve_window exactly
+    base = layout.free_mask(
+        fix_extrinsic=not cfg.estimate_extrinsic,
+        fix_td=not cfg.estimate_td,
+        fix_wheel=True,
+        use_gnss=cfg.use_gnss,
+        fix_yaw=not cfg.refine_gnss_yaw,
+        fix_anchor=not cfg.refine_gnss_alignment,
+        dtype=dtype)[:Df]
     pose0 = jnp.zeros((Df,), dtype).at[layout.pose_off:layout.pose_off + 6].set(1.0)
-    free = jnp.where(meas.prior.valid > 0, jnp.ones((Df,), dtype),
-                     1.0 - pose0)
+    anchored = (meas.prior.valid > 0) | (
+        (meas.gnss_enabled > 0) if cfg.use_gnss else False)
+    free = jnp.where(anchored, base, base * (1.0 - pose0))
     Hm = H * free[:, None] * free[None, :]
     # damp with the FULL (unreduced) frame diagonal — matches the joint
     # damped solve exactly, so the distributed LM follows the same path as
