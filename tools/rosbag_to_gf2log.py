@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--color", default="/camera/color/image_raw/compressed")
     ap.add_argument("--depth", default="/camera/aligned_depth_to_color/image_raw")
     ap.add_argument("--cloud", default="/livox/lidar")
+    ap.add_argument("--lidar-type", type=int, default=1,
+                    help="1 AVIA 2 VELO32 3 OUST64 4 ROBOSENSE16 5 PANDAR "
+                    "(reference lio/config preprocess.lidar_type)")
+    ap.add_argument("--blind", type=float, default=0.1)
+    ap.add_argument("--point-filter-num", type=int, default=1)
     args = ap.parse_args()
 
     try:
@@ -39,6 +44,27 @@ def main():
 
     sys.path.insert(0, str(Path(__file__).parent.parent))
     from ground_fusion2_tpu.runtime import native_bindings as nb
+    from ground_fusion2_tpu.data.cloud_convert import (
+        CloudConvert, CloudConvertConfig, LidarType)
+
+    cconv = CloudConvert(CloudConvertConfig(
+        lidar_type=LidarType(args.lidar_type), blind=args.blind,
+        point_filter_num=args.point_filter_num))
+
+    _PC2_DTYPES = {1: "i1", 2: "u1", 3: "i2", 4: "u2", 5: "i4", 6: "u4",
+                   7: "f4", 8: "f8"}
+
+    def pc2_structured(msg):
+        """PointCloud2 -> numpy structured array using the field table."""
+        names, formats, offsets = [], [], []
+        for f in msg.fields:
+            names.append(f.name)
+            formats.append(_PC2_DTYPES[f.datatype])
+            offsets.append(f.offset)
+        dt = np.dtype({"names": names, "formats": formats,
+                       "offsets": offsets, "itemsize": msg.point_step})
+        n = (msg.width * msg.height) or (len(msg.data) // msg.point_step)
+        return np.frombuffer(msg.data, dtype=dt, count=n)
 
     w = nb.LogWriter(args.out)
     with AnyReader([Path(args.bag)]) as reader:
@@ -69,24 +95,24 @@ def main():
                 hdr = np.array([msg.height, msg.width], np.uint32).view(np.uint8)
                 w.write(nb.REC_DEPTH, t, np.concatenate([hdr, data]))
             elif conn.topic == args.cloud:
-                # livox CustomMsg or PointCloud2
-                if hasattr(msg, "points"):   # livox custom
-                    pts = np.array(
-                        [[p.x, p.y, p.z, p.offset_time / 1e9]
-                         for p in msg.points], np.float32)
+                # livox CustomMsg or PointCloud2 -> vendor decode
+                # (ground_fusion2_tpu.data.cloud_convert, the reference's
+                # cloud_convert.cc handlers)
+                if hasattr(msg, "points"):   # livox CustomMsg
+                    arr = np.zeros(len(msg.points), dtype=[
+                        ("x", "f4"), ("y", "f4"), ("z", "f4"),
+                        ("reflectivity", "u1"), ("offset_time", "u4"),
+                        ("tag", "u1"), ("line", "u1")])
+                    for k, p in enumerate(msg.points):
+                        arr[k] = (p.x, p.y, p.z, p.reflectivity,
+                                  p.offset_time, p.tag, p.line)
                 else:
-                    # PointCloud2: xyz + (optional) time field, stride decode
-                    step = msg.point_step
-                    buf = np.frombuffer(msg.data, np.uint8)
-                    n = len(buf) // step
-                    xyz = np.stack([
-                        buf[o::step].view(np.float32)[:n]
-                        for o in (0, 4, 8)], axis=-1)
-                    pts = np.concatenate(
-                        [xyz, np.zeros((n, 1), np.float32)], axis=1)
+                    arr = pc2_structured(msg)
+                xyz, alpha, _inten, t_end = cconv.process(arr, t)
+                pts = np.concatenate([xyz, alpha[:, None]], axis=1)
                 hdr = np.array([pts.shape[0]], np.uint32).view(np.uint8)
-                w.write(nb.REC_CLOUD, t, np.concatenate(
-                    [hdr, pts.reshape(-1).view(np.uint8)]))
+                w.write(nb.REC_CLOUD, t_end, np.concatenate(
+                    [hdr, pts.astype(np.float32).reshape(-1).view(np.uint8)]))
     w.close()
     print(f"wrote {args.out}")
 
