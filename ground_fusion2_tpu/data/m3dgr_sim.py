@@ -1,0 +1,310 @@
+"""M3DGR-format synthetic sequence: generation + full-pipeline replay.
+
+The reference's validation story is rosbag replay of M3DGR sequences with
+the shipped calibration (``/root/reference/README.md:146-189``). Real bags
+are not redistributable with this repo, so this module synthesizes a
+sequence *in the exact on-disk format and calibration* of the converted
+M3DGR logs (``tools/rosbag_to_gf2log.py`` output): rendered 640x480 RGB-D
+frames through the real intrinsics, IMU/wheel at real rates with the real
+noise figures, LiDAR sweeps in the LiDAR frame behind the real extrinsics —
+written to the native TLV log and replayed through the *complete* pipeline
+(CLAHE -> KLT -> RANSAC -> VIO -> LIO -> switch), exactly the path a real
+M3DGR bag takes after conversion.
+
+Calibration source of truth: ``configs/m3dgr.yaml`` (values lifted from
+``Ground-Fusion++/config/realsense/m3dgr.yaml:46-53`` and
+``lio/config/m3dgr.yaml:15-18``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config.loader import SystemYamlConfig, load_config
+from ..runtime import native_bindings as nb
+from . import synthetic as sim
+from .render import SceneRenderer, make_room_scene
+
+# RealSense-style IMU mount: body(IMU) axes in vehicle coordinates
+# (vehicle: x forward, y left, z up; body: x right, y down, z forward).
+R_VB = np.array([
+    [0.0, 0.0, 1.0],
+    [-1.0, 0.0, 0.0],
+    [0.0, -1.0, 0.0],
+])
+
+
+def _mat_to_quat(R):
+    w = np.sqrt(max(1.0 + R[0, 0] + R[1, 1] + R[2, 2], 1e-12)) / 2
+    x = (R[2, 1] - R[1, 2]) / (4 * w)
+    y = (R[0, 2] - R[2, 0]) / (4 * w)
+    z = (R[1, 0] - R[0, 1]) / (4 * w)
+    q = np.array([w, x, y, z])
+    return q / np.linalg.norm(q)
+
+
+def _quat_to_mat(q):
+    return sim._quat_to_mat(q)
+
+
+def generate_m3dgr_log(
+    path: str,
+    config: SystemYamlConfig,
+    duration: float = 12.0,
+    imu_rate: float = 200.0,
+    cam_rate: float = 15.0,
+    lidar_rate: float = 10.0,
+    speed: float = 0.8,
+    yaw_rate: float = 0.35,
+    with_lidar: bool = True,
+    seed: int = 0,
+) -> None:
+    """Render + write one sequence to ``path`` in the converted-bag format."""
+    raw_cam = config.cam_intrinsics
+    fx, fy = raw_cam["fx"], raw_cam["fy"]
+    cx, cy = raw_cam["cx"], raw_cam["cy"]
+    W, H = raw_cam["width"], raw_cam["height"]
+    g_norm = config.estimator.g_norm
+    rng = np.random.default_rng(seed)
+
+    traj = sim.make_planar_trajectory(
+        duration=duration, imu_rate=imu_rate, speed=speed, yaw_rate=yaw_rate,
+        wobble=0.02, static_time=1.5, ramp_time=1.0)
+    n = traj.t.shape[0]
+
+    # vehicle -> body resampling of IMU ground truth; specific force is
+    # recomputed with the configured gravity magnitude (g_norm 9.7944)
+    grav = np.array([0.0, 0.0, -g_norm])
+    dt = 1.0 / imu_rate
+    a_world = np.gradient(traj.v, dt, axis=0)
+    acc_b = np.zeros((n, 3), np.float32)
+    gyr_b = np.zeros((n, 3), np.float32)
+    q_wb = np.zeros((n, 4), np.float64)
+    for i in range(n):
+        R_wv = _quat_to_mat(traj.q[i])
+        R_wb = R_wv @ R_VB
+        q_wb[i] = _mat_to_quat(R_wb)
+        acc_b[i] = R_wb.T @ (a_world[i] - grav)
+        gyr_b[i] = R_VB.T @ traj.gyr_body[i]
+
+    imu_noise = config.estimator.imu_noise
+    acc_meas = acc_b + rng.normal(scale=imu_noise.acc_n * np.sqrt(imu_rate),
+                                  size=acc_b.shape).astype(np.float32) * 0.1
+    gyr_meas = gyr_b + rng.normal(scale=imu_noise.gyr_n * np.sqrt(imu_rate),
+                                  size=gyr_b.shape).astype(np.float32) * 0.1
+
+    # wheel: body-frame velocity
+    wvel = np.zeros((n, 3), np.float32)
+    for i in range(n):
+        R_wb = _quat_to_mat(q_wb[i])
+        wvel[i] = R_wb.T @ traj.v[i]
+
+    # scene + renderer (camera behind the real body_T_cam0)
+    rects = make_room_scene(x=(-10, 14), y=(-7, 7), h=3.0, seed=seed)
+    renderer = SceneRenderer(rects, fx, fy, cx, cy, W, H)
+    ric, tic = config.ric, config.tic
+
+    lidar = None
+    if with_lidar:
+        lidar = sim.LidarSim.room(x=(-10, 14), y=(-7, 7), z=(0.0, 3.0),
+                                  n_rays=4096, noise=0.01, seed=seed)
+    r_il, t_il = config.r_il, config.t_il
+
+    writer = nb.LogWriter(path)
+    cam_every = int(round(imu_rate / cam_rate))
+    lid_every = int(round(imu_rate / lidar_rate))
+    z_cam = 0.4  # sensor height above ground
+
+    for i in range(n):
+        t = traj.t[i]
+        writer.write(nb.REC_IMU, t, np.concatenate(
+            [acc_meas[i], gyr_meas[i]]).astype(np.float32))
+        if i % 4 == 0:   # wheel at 50 Hz
+            writer.write(nb.REC_WHEEL, t, wvel[i].astype(np.float32))
+        writer.write(nb.REC_GT, t, np.concatenate(
+            [traj.p[i] + [0, 0, z_cam], q_wb[i]]).astype(np.float32))
+
+        if i % cam_every == 0:
+            R_wb = _quat_to_mat(q_wb[i])
+            p_wb = traj.p[i] + np.array([0, 0, z_cam])
+            R_wc = R_wb @ ric
+            p_wc = p_wb + R_wb @ tic
+            gray, depth = renderer.render(p_wc, R_wc)
+            img_u8 = np.clip(gray * 255.0, 0, 255).astype(np.uint8)
+            hdr = np.array([H, W], np.uint32).view(np.uint8)
+            writer.write(nb.REC_IMAGE, t,
+                         np.concatenate([hdr, img_u8.reshape(-1)]))
+            depth_mm = np.clip(depth * 1000.0, 0, 65535).astype(np.uint16)
+            writer.write(nb.REC_DEPTH, t, np.concatenate(
+                [hdr, depth_mm.reshape(-1).view(np.uint8)]))
+
+        if lidar is not None and i % lid_every == 0 and i + lid_every < n:
+            j = i + lid_every
+            # lidar pose at sweep begin/end: T_wl = T_wb T_bl
+            def lid_pose(k):
+                R_wb = _quat_to_mat(q_wb[k])
+                p_wb = traj.p[k] + np.array([0, 0, z_cam])
+                return p_wb + R_wb @ t_il, _mat_to_quat(R_wb @ r_il)
+            p0, q0 = lid_pose(i)
+            p1, q1 = lid_pose(j)
+            pts_l, alpha, valid = lidar.scan(p0, q0, p1, q1, rng=rng)
+            keep = valid > 0
+            pts4 = np.concatenate(
+                [pts_l[keep], alpha[keep][:, None]], axis=1).astype(np.float32)
+            hdr = np.asarray([pts4.shape[0]], np.uint32).view(np.uint8)
+            writer.write(nb.REC_CLOUD, traj.t[j], np.concatenate(
+                [hdr, pts4.reshape(-1).view(np.uint8)]))
+    writer.close()
+
+
+@dataclass
+class ReplayResult:
+    t: np.ndarray
+    est_p: np.ndarray      # fused output trajectory (body frame)
+    gt_p: np.ndarray
+    est_p_vio: np.ndarray  # VIO odometry stream
+    gt_p_vio: np.ndarray
+    n_switches: int
+    outputs: list
+
+
+def replay_m3dgr_log(
+    log_path: str,
+    config: SystemYamlConfig,
+    num_feats: int = 96,
+    process_every: int = 2,      # reference: every 2nd image (estimator.cpp:226)
+    use_lidar: bool = True,
+) -> ReplayResult:
+    """Replay a log through the complete pipeline; returns trajectories."""
+    import jax.numpy as jnp
+
+    from ..frontend.tracker import FeatureTracker, TrackerConfig
+    from ..core.cameras import Pinhole
+    from ..system import GroundFusion, SystemConfig
+    from ..vio.estimator import EstimatorConfig
+
+    raw_cam = config.cam_intrinsics
+    fx = raw_cam["fx"]
+    cam = Pinhole.create(fx, raw_cam["fy"], raw_cam["cx"], raw_cam["cy"])
+    d_lo, d_hi = raw_cam.get("depth_range", (0.1, 3.0))
+    tracker = FeatureTracker(TrackerConfig(
+        num_slots=num_feats, equalize=bool(raw_cam.get("equalize", 1)),
+        use_ransac=True, focal=fx,
+        depth_range=(d_lo, d_hi)), cam)
+
+    est_cfg = EstimatorConfig(
+        num_feats=num_feats,
+        vio=config.estimator.vio._replace(num_feats=num_feats),
+        imu_noise=config.estimator.imu_noise,
+        wheel_noise=config.estimator.wheel_noise,
+        min_parallax=config.estimator.min_parallax,
+        use_wheel=config.estimator.use_wheel,
+        g_norm=config.estimator.g_norm)
+    gf = GroundFusion(SystemConfig(vio=est_cfg, lio=config.lio,
+                                   use_lidar=use_lidar and config.use_lidar),
+                      tic=config.tic, ric=config.ric)
+
+    # ingest state
+    imu_t, imu_acc, imu_gyr = [], [], []
+    wheel_t, wheel_v = [], []
+    last_cam_imu_idx = 0
+    pend_img = None
+    img_count = 0
+    gt_t, gt_p = [], []
+    vio_t, vio_p = [], []
+    fused_t, fused_p = [], []
+    n_switch = 0
+    outputs = []
+    lid_last_idx = 0
+    r_il, t_il = config.r_il, config.t_il
+
+    def imu_chunk(i0, i1):
+        a = np.asarray(imu_acc[i0:i1 + 1], np.float32)
+        g = np.asarray(imu_gyr[i0:i1 + 1], np.float32)
+        ts = np.asarray(imu_t[i0:i1 + 1])
+        dts = np.diff(ts).astype(np.float32)
+        return a, g, dts
+
+    def wheel_chunk(i0, i1):
+        """Wheel velocity resampled at the IMU stamps of the chunk."""
+        ts = np.asarray(imu_t[i0:i1 + 1])
+        if not wheel_t:
+            return np.zeros((len(ts), 3), np.float32)
+        wt = np.asarray(wheel_t)
+        wv = np.asarray(wheel_v)
+        out = np.stack([np.interp(ts, wt, wv[:, k]) for k in range(3)], -1)
+        return out.astype(np.float32)
+
+    reader = nb.LogReader(log_path)
+    while True:
+        rec = reader.read()
+        if rec is None:
+            break
+        ty, t, buf = rec
+        if ty == nb.REC_IMU:
+            v = np.frombuffer(buf, np.float32)
+            imu_t.append(t); imu_acc.append(v[:3]); imu_gyr.append(v[3:6])
+        elif ty == nb.REC_WHEEL:
+            wheel_t.append(t); wheel_v.append(np.frombuffer(buf, np.float32))
+        elif ty == nb.REC_GT:
+            v = np.frombuffer(buf, np.float32)
+            gt_t.append(t); gt_p.append(v[:3].copy())
+        elif ty == nb.REC_IMAGE:
+            h, w = np.frombuffer(buf[:8], np.uint32)
+            img = np.frombuffer(buf[8:8 + h * w], np.uint8).reshape(h, w)
+            pend_img = (t, img.astype(np.float32) / 255.0)
+        elif ty == nb.REC_DEPTH and pend_img is not None \
+                and abs(pend_img[0] - t) < 0.003:
+            img_count += 1
+            if (img_count - 1) % process_every:
+                continue
+            h, w = np.frombuffer(buf[:8], np.uint32)
+            depth = np.frombuffer(
+                buf[8:8 + 2 * h * w], np.uint16).reshape(h, w) / 1000.0
+            ti, img = pend_img
+            i1 = len(imu_t) - 1
+            if i1 <= last_cam_imu_idx:
+                continue
+            obs = tracker.track(ti, jnp.asarray(img),
+                                jnp.asarray(depth.astype(np.float32)))
+            out = gf.process_camera(
+                ti, obs, imu_chunk(last_cam_imu_idx, i1),
+                wheel_vel=wheel_chunk(last_cam_imu_idx, i1))
+            last_cam_imu_idx = i1
+            outputs.append(out)
+            if out.initialized:
+                vio_t.append(ti); vio_p.append(out.p.copy())
+        elif ty == nb.REC_CLOUD and use_lidar and config.use_lidar:
+            nn = int(np.frombuffer(buf[:4], np.uint32)[0])
+            pts4 = np.frombuffer(buf[4:4 + 16 * nn], np.float32).reshape(nn, 4)
+            # lidar frame -> body frame (the converter's cloud_convert step)
+            pts_b = pts4[:, :3] @ r_il.T + t_il[None, :]
+            i1 = len(imu_t) - 1
+            if i1 <= lid_last_idx:
+                continue
+            lo = gf.process_lidar(
+                t, pts_b.astype(np.float32), pts4[:, 3].copy(),
+                np.ones((nn,), np.float32), imu_chunk(lid_last_idx, i1))
+            lid_last_idx = i1
+            if lo is not None:
+                fused_t.append(t); fused_p.append(np.asarray(lo.p_fused))
+                if lo.switched:
+                    n_switch += 1
+    reader.close()
+
+    gt_t = np.asarray(gt_t)
+    gt_p = np.asarray(gt_p)
+
+    def gt_at(ts):
+        return np.stack([np.interp(ts, gt_t, gt_p[:, k]) for k in range(3)], -1)
+
+    est_p = np.asarray(fused_p) if fused_p else np.zeros((0, 3))
+    est_t = np.asarray(fused_t) if fused_t else np.zeros((0,))
+    vio_p = np.asarray(vio_p) if vio_p else np.zeros((0, 3))
+    vio_ts = np.asarray(vio_t) if vio_t else np.zeros((0,))
+    return ReplayResult(
+        t=est_t, est_p=est_p, gt_p=gt_at(est_t) if len(est_t) else est_p,
+        est_p_vio=vio_p, gt_p_vio=gt_at(vio_ts) if len(vio_ts) else vio_p,
+        n_switches=n_switch, outputs=outputs)

@@ -1,0 +1,43 @@
+"""M3DGR-format end-to-end regression: rendered images -> full pipeline -> ATE.
+
+The north-star validation path (reference ``README.md:146-189``): a sequence
+with the *real M3DGR calibration* (``configs/m3dgr.yaml``) in the exact
+converted-bag log format, replayed through the complete pipeline — CLAHE,
+Shi-Tomasi/KLT, RANSAC rejection, depth association, sliding-window VIO,
+LIO with the degeneracy switch — and scored by ATE against ground truth.
+Real bags are not shippable; the sequence is rendered (data/render.py), but
+every pipeline stage runs exactly as it would on converted real data.
+"""
+
+import numpy as np
+import pytest
+
+from ground_fusion2_tpu.config.loader import load_config
+from ground_fusion2_tpu.data.m3dgr_sim import generate_m3dgr_log, replay_m3dgr_log
+from ground_fusion2_tpu.eval.metrics import ate_rmse
+
+
+@pytest.fixture(scope="module")
+def m3dgr_log(tmp_path_factory):
+    cfg = load_config("configs/m3dgr.yaml")
+    path = str(tmp_path_factory.mktemp("m3dgr") / "seq01.gf2log")
+    generate_m3dgr_log(path, cfg, duration=8.0, with_lidar=True, seed=0)
+    return path, cfg
+
+
+@pytest.mark.slow
+def test_m3dgr_sim_vio_ate(m3dgr_log):
+    path, cfg = m3dgr_log
+    res = replay_m3dgr_log(path, cfg, num_feats=64, use_lidar=False)
+    assert len(res.est_p_vio) > 20, "VIO produced too few poses"
+    ate = ate_rmse(res.est_p_vio, res.gt_p_vio, align=True)
+    assert ate < 0.30, f"M3DGR-sim VIO ATE {ate:.3f} m"
+
+
+@pytest.mark.slow
+def test_m3dgr_sim_full_lvio(m3dgr_log):
+    path, cfg = m3dgr_log
+    res = replay_m3dgr_log(path, cfg, num_feats=64, use_lidar=True)
+    assert len(res.est_p) > 20, "LIO produced too few poses"
+    ate = ate_rmse(res.est_p, res.gt_p, align=True)
+    assert ate < 0.30, f"M3DGR-sim fused ATE {ate:.3f} m"
