@@ -217,6 +217,74 @@ def plane_residuals(x: WindowState, weight: float, valid: jax.Array):
     return r, w
 
 
+def posvel_residuals(x: WindowState, frame_dt: jax.Array, weight: float,
+                     valid: jax.Array):
+    """Position-velocity consistency between consecutive frames (reference
+    ``PosVelFactor <3,7,7,9,9>``, ``factor/pos_vel_factor.cpp``):
+    p_{k+1} = p_k + 0.5 (v_k + v_{k+1}) dt — a soft kinematic tie used when
+    IMU quality is poor. frame_dt: [W-1]."""
+    dt = frame_dt[:, None]
+    r = (x.p[1:] - x.p[:-1] - 0.5 * (x.v[1:] + x.v[:-1]) * dt) * weight
+    w = jnp.repeat(valid[:, None].astype(r.dtype), 3, axis=-1)
+    return r, w
+
+
+def motion_residuals(x: WindowState, weight: float, valid: jax.Array):
+    """Non-holonomic ground-vehicle constraint (the functional form of the
+    reference's MotionFactor ``<2,7,7,9,3>`` — its shipped body is vestigial
+    with ``use_motion: 0``): the wheel-frame lateral and vertical velocity
+    components are ~0 for a wheeled robot. Residual [W, 2] through the wheel
+    extrinsic."""
+    q_wo = lie.quat_mul(x.q, x.qio[None])
+    v_body = lie.quat_rotate(lie.quat_conj(q_wo), x.v)
+    r = v_body[:, 1:3] * weight
+    w = jnp.repeat(valid[:, None].astype(r.dtype), 2, axis=-1)
+    return r, w
+
+
+def stereo_projection_residuals(
+    x: WindowState,
+    feats: FeatureTable,
+    ray2: jax.Array,        # [F, W, 2] right-camera normalized obs
+    valid2: jax.Array,      # [F, W]
+    sqrt_info: float,
+    huber_delta: float = 1.0,
+    min_depth: float = 0.05,
+):
+    """Second-camera reprojection (the reference's 2F2C/1F2C factors,
+    ``projectionTwoFrameTwoCamFactor.h`` / ``projectionOneFrameTwoCamFactor.h``):
+    landmarks anchored in camera 1 reproject into camera 2 at every observing
+    frame — same-frame observations give the 1F2C (pure-extrinsic) residual,
+    cross-frame give 2F2C. Returns r [F, W, 2], w [F, W, 2]."""
+    F, W, _ = feats.ray.shape
+    dtype = feats.ray.dtype
+
+    anchor = feats.anchor.astype(jnp.int32)
+    ray_i = _gather_frame(feats.ray, anchor)
+    pt_i = jnp.concatenate([ray_i, jnp.ones((F, 1), dtype)], -1)
+    depth_i = 1.0 / jnp.maximum(x.rho, 1e-3)
+    p_ci = pt_i * depth_i[:, None]
+
+    q_wi = x.q[anchor]
+    p_wi = x.p[anchor]
+    p_imu_i = lie.quat_rotate(x.qic[None], p_ci) + x.tic[None]
+    p_w = lie.quat_rotate(q_wi, p_imu_i) + p_wi
+
+    q_inv = lie.quat_conj(x.q)
+    p_imu_j = lie.quat_rotate(q_inv[None], p_w[:, None] - x.p[None])
+    qic2_inv = lie.quat_conj(x.qic2)
+    p_c2 = lie.quat_rotate(qic2_inv[None, None], p_imu_j - x.tic2[None, None])
+
+    z = p_c2[..., 2]
+    z_safe = jnp.where(jnp.abs(z) > min_depth, z, min_depth)
+    pred = p_c2[..., :2] / z_safe[..., None]
+    r = (pred - ray2) * sqrt_info
+    w = (valid2 * feats.track_valid[:, None] * (z > min_depth).astype(dtype))
+    sqn = jnp.sum(r * r, axis=-1)
+    w = w * robust.huber_weight(sqn, huber_delta)
+    return r, jnp.repeat(w[..., None], 2, axis=-1)
+
+
 def pose_anchor_residuals(
     x: WindowState, frame: int, p_ref: jax.Array, q_ref: jax.Array,
     weight: float, valid: jax.Array,

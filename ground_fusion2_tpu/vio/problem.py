@@ -35,6 +35,10 @@ class VioConfig(NamedTuple):
     use_wheel: bool = False
     use_plane: bool = False
     plane_weight: float = 10.0
+    use_stereo: bool = False          # 2F2C/1F2C second-camera factors
+    use_motion: bool = False          # non-holonomic + pos-vel kinematic ties
+    motion_weight: float = 5.0
+    posvel_weight: float = 10.0
     estimate_extrinsic: bool = False
     extrinsic_type: int = 0           # reference m3dgr.yaml:41-45 (3 = no z)
     estimate_td: bool = False
@@ -61,6 +65,10 @@ class VioMeasurements(NamedTuple):
     gnss_enabled: jax.Array  # [] scalar: gnss_ready && !lowspeed
     prior: MargPrior         # over frame dims (layout.frame_dim)
     prior_state: WindowState  # linearization snapshot for the prior
+    # optional second-camera (stereo) observations; None when mono
+    stereo_ray: jax.Array | None = None    # [F, W, 2]
+    stereo_valid: jax.Array | None = None  # [F, W]
+    frame_dt: jax.Array | None = None      # [W-1] for the pos-vel tie
 
 
 def build_residual_fn(
@@ -94,6 +102,23 @@ def build_residual_fn(
             r_g, w_g = gnss_residuals(x, meas.gnss, meas.gnss_enabled)
             parts_r.append(r_g)
             parts_w.append(w_g)
+        if cfg.use_stereo:
+            r_s, w_s = fac.stereo_projection_residuals(
+                x, meas.feats, meas.stereo_ray, meas.stereo_valid,
+                cfg.proj_sqrt_info, cfg.huber_delta)
+            parts_r.append(r_s.reshape(-1))
+            parts_w.append(w_s.reshape(-1))
+        if cfg.use_motion:
+            ones_w = jnp.ones((layout.W,), x.p.dtype)
+            r_m, w_m = fac.motion_residuals(x, cfg.motion_weight, ones_w)
+            parts_r.append(r_m.reshape(-1))
+            parts_w.append(w_m.reshape(-1))
+            fdt = meas.frame_dt if meas.frame_dt is not None \
+                else jnp.full((layout.W - 1,), 0.1, x.p.dtype)
+            r_pv, w_pv = fac.posvel_residuals(
+                x, fdt, cfg.posvel_weight, jnp.ones((layout.W - 1,), x.p.dtype))
+            parts_r.append(r_pv.reshape(-1))
+            parts_w.append(w_pv.reshape(-1))
 
         # marginalization prior over frame dims
         dx_frames = layout.boxminus_frames(x, meas.prior_state)

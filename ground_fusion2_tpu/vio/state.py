@@ -47,6 +47,8 @@ class WindowState(NamedTuple):
     six: jax.Array  # [] wheel intrinsic sx
     siy: jax.Array  # [] wheel intrinsic sy
     siw: jax.Array  # [] wheel intrinsic sw
+    tic2: jax.Array  # [3] second-camera (stereo) extrinsic
+    qic2: jax.Array  # [4]
     # GNSS states (reference para_rcv_dt / para_rcv_ddt / para_yaw_enu_local
     # / para_anc_ecef) — present always, optimized only when GNSS is enabled
     gdt: jax.Array       # [W, 4] per-constellation receiver clock bias (m)
@@ -72,6 +74,8 @@ class WindowState(NamedTuple):
             tio=jnp.zeros((3,), dtype),
             qio=lie.quat_identity((), dtype),
             six=one, siy=one, siw=one,
+            tic2=jnp.zeros((3,), dtype),
+            qic2=lie.quat_identity((), dtype),
             gdt=jnp.zeros((W, 4), dtype),
             gddt=jnp.zeros((W,), dtype),
             gyaw=jnp.zeros((), dtype),
@@ -93,6 +97,7 @@ class WindowLayout:
         self.td_off = o; o += 1
         self.wext_off = o; o += 6
         self.wint_off = o; o += 3
+        self.cam2_off = o; o += 6
         self.gdt_off = o; o += self.W * 4
         self.gddt_off = o; o += self.W
         self.gyaw_off = o; o += 1
@@ -115,6 +120,7 @@ class WindowLayout:
         dtd = delta[self.td_off]
         dwex = delta[self.wext_off:self.wext_off + 6]
         dwin = delta[self.wint_off:self.wint_off + 3]
+        dcam2 = delta[self.cam2_off:self.cam2_off + 6]
         dgdt = delta[self.gdt_off:self.gdt_off + self.W * 4].reshape(self.W, 4)
         dgddt = delta[self.gddt_off:self.gddt_off + self.W]
         dgyaw = delta[self.gyaw_off]
@@ -134,6 +140,8 @@ class WindowLayout:
             six=x.six + dwin[0],
             siy=x.siy + dwin[1],
             siw=x.siw + dwin[2],
+            tic2=x.tic2 + dcam2[0:3],
+            qic2=lie.quat_boxplus(x.qic2, dcam2[3:6]),
             gdt=x.gdt + dgdt,
             gddt=x.gddt + dgddt,
             gyaw=x.gyaw + dgyaw,
@@ -159,6 +167,8 @@ class WindowLayout:
             x.tio - x0.tio,
             lie.quat_boxminus(x.qio, x0.qio),
             jnp.stack([x.six - x0.six, x.siy - x0.siy, x.siw - x0.siw]),
+            x.tic2 - x0.tic2,
+            lie.quat_boxminus(x.qic2, x0.qic2),
             (x.gdt - x0.gdt).reshape(-1),
             x.gddt - x0.gddt,
             (x.gyaw - x0.gyaw)[None],
@@ -217,6 +227,7 @@ class WindowLayout:
         fix_yaw: bool = True,
         fix_anchor: bool = True,
         extrinsic_type: int = 0,
+        fix_cam2: bool = True,
         dtype=jnp.float32,
     ) -> jax.Array:
         """Build the [D] {0,1} mask of optimizable dims.
@@ -246,6 +257,8 @@ class WindowLayout:
             m[self.td_off] = 0
         if fix_wheel:
             m[self.wext_off:self.wint_off + 3] = 0
+        if fix_cam2:
+            m[self.cam2_off:self.cam2_off + 6] = 0
         if not use_gnss:
             m[self.gdt_off:self.frame_dim] = 0
         else:

@@ -15,7 +15,17 @@ def test_config_loader():
     assert cfg.use_gnss is False
     assert cfg.lio.map_cfg.voxel_size == 0.2
     assert cfg.lio.max_keypoints == 2000
-    np.testing.assert_allclose(cfg.ric, [[0, 0, 1], [-1, 0, 0], [0, -1, 0]])
+    # real M3DGR body_T_cam0 (reference config/realsense/m3dgr.yaml:46-53)
+    np.testing.assert_allclose(
+        cfg.ric,
+        [[0.99957087, 0.00215313, 0.02921355],
+         [-0.00192891, 0.99996848, -0.00770122],
+         [-0.02922921, 0.00764156, 0.99954353]])
+    np.testing.assert_allclose(
+        cfg.tic, [0.03668114, -0.00477653, 0.0316039])
+    # real lidar extrinsic (reference lio/config/m3dgr.yaml:15-18)
+    np.testing.assert_allclose(
+        cfg.t_il, [-0.00349766, -0.417688, 0.198242])
     assert abs(cfg.estimator.vio.proj_sqrt_info - 607.79772949218 / 1.5) < 1e-6
 
 

@@ -23,7 +23,8 @@ SPP = int(KF_DT * IMU_RATE)  # imu samples per keyframe interval
 
 
 def build_window(seed=0, perturb=True, pix_noise=0.0, imu_noise=False,
-                 td_true=0.0, depth_fix_all=False):
+                 td_true=0.0, depth_fix_all=False, with_stereo=False,
+                 stereo_baseline=0.05):
     rng = np.random.default_rng(seed)
     traj = sim.make_planar_trajectory(duration=10.0, yaw_rate=0.4, wobble=0.05)
     lms = sim.make_landmarks(traj, n=400, seed=seed)
@@ -126,6 +127,25 @@ def build_window(seed=0, perturb=True, pix_noise=0.0, imu_noise=False,
     else:
         x0 = x_true
 
+    # --- optional second camera (stereo) -------------------------------
+    stereo_ray = None
+    stereo_valid = None
+    if with_stereo:
+        tic2 = cam.tic + cam.ric @ np.array([stereo_baseline, 0.0, 0.0])
+        stereo_ray = np.zeros((F_SLOTS, W, 2), np.float32)
+        stereo_valid = np.zeros((F_SLOTS, W), np.float32)
+        for s, li in enumerate(chosen):
+            l_w = lms.pts[li]
+            for k, i in enumerate(kf_idx):
+                if not ovalid[s, k]:
+                    continue
+                R_wb = sim._quat_to_mat(traj.q[i])
+                p_c2 = cam.ric.T @ (R_wb.T @ (l_w - traj.p[i]) - tic2)
+                if p_c2[2] > 0.3:
+                    stereo_ray[s, k] = p_c2[:2] / p_c2[2]
+                    stereo_valid[s, k] = 1.0
+        x_stereo_tic2 = tic2
+
     layout = WindowLayout(F_SLOTS)
     meas = VioMeasurements(
         feats=feats,
@@ -136,7 +156,15 @@ def build_window(seed=0, perturb=True, pix_noise=0.0, imu_noise=False,
         gnss=GnssTable.empty(11), gnss_enabled=jnp.zeros(()),
         prior=MargPrior.empty(layout.frame_dim),
         prior_state=x0,
+        stereo_ray=None if stereo_ray is None else jnp.asarray(stereo_ray),
+        stereo_valid=None if stereo_valid is None else jnp.asarray(stereo_valid),
+        frame_dt=jnp.full((W - 1,), KF_DT, jnp.float32),
     )
+    if with_stereo:
+        tic2j = jnp.asarray(x_stereo_tic2, jnp.float32)
+        x_true = x_true._replace(tic2=tic2j, qic2=x_true.qic)
+        x0 = x0._replace(tic2=tic2j, qic2=x_true.qic)
+        meas = meas._replace(prior_state=x0)
     return x_true, x0, meas, layout
 
 
@@ -186,6 +214,32 @@ def test_stationary_freeze_keeps_states():
     out = solve_window(x0, meas, layout, cfg)
     np.testing.assert_allclose(np.asarray(out.state.p), np.asarray(x0.p), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.state.v), np.asarray(x0.v), atol=1e-6)
+
+
+def test_window_ba_stereo_factors():
+    """2F2C/1F2C second-camera factors: residuals vanish at truth and the
+    perturbed window still converges with them enabled."""
+    x_true, x0, meas, layout = build_window(perturb=True, with_stereo=True)
+    from ground_fusion2_tpu.factors.vio_factors import stereo_projection_residuals
+    r, w = stereo_projection_residuals(
+        x_true, meas.feats, meas.stereo_ray, meas.stereo_valid, 460.0 / 1.5)
+    c_true = float(jnp.sum((r * w) ** 2))
+    assert c_true < 1e-3, c_true
+
+    cfg = VioConfig(num_feats=F_SLOTS, use_stereo=True)
+    out = solve_window(x0, meas, layout, cfg)
+    p_err = np.linalg.norm(np.asarray(out.state.p - x_true.p), axis=-1)
+    assert p_err.max() < 0.01, p_err
+
+
+def test_window_ba_motion_factors():
+    """Non-holonomic + pos-vel ties hold on a planar trajectory (lateral
+    body velocity ~0) and don't degrade the solve."""
+    x_true, x0, meas, layout = build_window(perturb=True)
+    cfg = VioConfig(num_feats=F_SLOTS, use_motion=True, motion_weight=2.0)
+    out = solve_window(x0, meas, layout, cfg)
+    p_err = np.linalg.norm(np.asarray(out.state.p - x_true.p), axis=-1)
+    assert p_err.max() < 0.02, p_err
 
 
 def test_marginalization_prior_constrains():
