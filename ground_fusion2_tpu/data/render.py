@@ -116,9 +116,12 @@ def make_room_scene(x=(-10.0, 10.0), y=(-6.0, 6.0), h: float = 3.0,
 
 def make_long_hall_scene(length: float = 100.0, width: float = 6.0,
                          h: float = 3.0, pillar_every: float = 6.0,
+                         cross_every: float = 12.0, door: float = 2.4,
                          seed: int = 0) -> list[Rect]:
-    """A long hallway with pillars: x-observable everywhere (the pillars
-    break the corridor degeneracy) — for long-trajectory LIO tests."""
+    """A long hallway with pillars and doorway cross-walls: x-observable
+    everywhere (pillars + frontal walls break the corridor degeneracy) —
+    for long-trajectory LIO tests. The robot drives along y = 0 through the
+    ``door``-wide openings."""
     y0, y1 = -width / 2, width / 2
     rects = [
         Rect([-2.0, y0, 0.0], [length + 4, 0, 0], [0, y1 - y0, 0], seed=1),
@@ -140,6 +143,20 @@ def make_long_hall_scene(length: float = 100.0, width: float = 6.0,
             Rect(o + [0.5, 0, 0], [0, 0.5, 0], [0, 0, h], seed=22 + 3 * k),
         ]
         x += pillar_every
+        k += 1
+    # cross-walls with central doorways: frontal structure -> x observability
+    x = cross_every
+    k = 0
+    while x < length:
+        half = door / 2
+        rects += [
+            Rect([x, y0, 0], [0, -y0 - half, 0], [0, 0, h], seed=200 + 2 * k),
+            Rect([x, half, 0], [0, y1 - half, 0], [0, 0, h], seed=201 + 2 * k),
+            # lintel above the doorway keeps the wall visible head-on
+            Rect([x, -half, h - 0.6], [0, door, 0], [0, 0, 0.6],
+                 seed=202 + 2 * k),
+        ]
+        x += cross_every
         k += 1
     return rects
 

@@ -466,14 +466,20 @@ class VioEstimator:
 
     def _try_initialize(self):
         """Static bootstrap: gravity + biases from interval-0 samples, then
-        IMU-propagated window poses."""
+        IMU-propagated window poses. The excitation gate uses the variance
+        over the WHOLE window's samples (the reference accumulates over all
+        image frames, ``estimator.cpp:1641-1654``) — a single interval of a
+        smooth speed ramp looks deceptively static."""
         cfg = self.cfg
         m0 = self.bufs.mask[0] > 0
         if m0.sum() < 5:
             return
         acc0 = self.bufs.acc[0][: int(m0.sum()) + 1]
         gyr0 = self.bufs.gyr[0][: int(m0.sum()) + 1]
-        acc_var = float(np.linalg.norm(np.var(acc0, axis=0)))
+        mask_all = self.bufs.mask > 0
+        acc_all = self.bufs.acc[:, :-1][mask_all]      # every valid sample
+        acc_var = float(np.linalg.norm(np.var(acc_all, axis=0))) \
+            if acc_all.shape[0] > 10 else 0.0
         if acc_var > cfg.static_acc_var:
             # robot moving at start: dynamic initialization (the reference's
             # initialStructure SfM + VI-alignment path,

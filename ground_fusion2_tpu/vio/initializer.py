@@ -128,8 +128,10 @@ def _linear_alignment(p_b0: np.ndarray, R_b0: np.ndarray, pres, g_norm: float):
             else:
                 A[row:row + 3, 3 * W:] = -0.5 * dt * dt * RkT @ bases
                 A[row + 3:row + 6, 3 * W:] = -dt * RkT @ bases
-                rhs_p += 0.5 * dt * dt * RkT @ g_fix
-                rhs_v += dt * RkT @ g_fix
+                # the fixed part of g moves to the right-hand side:
+                # dp = RkT dP - dt RkT v_k - 0.5 dt^2 RkT (g_fix + B w)
+                rhs_p -= 0.5 * dt * dt * RkT @ g_fix
+                rhs_v -= dt * RkT @ g_fix
             b[row:row + 3] = dp - rhs_p
             b[row + 3:row + 6] = dv - rhs_v
         x, *_ = np.linalg.lstsq(A, b, rcond=None)
