@@ -90,14 +90,15 @@ def test_klt_tracks_rendered_scene():
     fx = fy = 400.0
     cx, cy = 160.0, 120.0
     rend = SceneRenderer(rects, fx, fy, cx, cy, 320, 240)
-    R_wc = np.array([[0, 0, 1.0], [-1, 0, 0], [0, -1, 0]]).T
+    # camera->world: columns are the camera axes in world (optical z -> +x)
+    R_wc = np.array([[0, 0, 1.0], [-1, 0, 0], [0, -1, 0]])
     cam = Pinhole.create(fx, fy, cx, cy)
     tracker = FeatureTracker(TrackerConfig(
         num_slots=48, equalize=True, use_ransac=True, focal=fx,
         depth_range=(0.1, 20.0)), cam)
 
-    poses = [np.array([0, 0, 0.5]), np.array([0.05, 0, 0.5]),
-             np.array([0.10, 0, 0.5])]
+    poses = [np.array([0, 0, 0.5]), np.array([0.15, 0, 0.5]),
+             np.array([0.30, 0, 0.5])]
     obs = []
     for i, p in enumerate(poses):
         g, d = rend.render(p, R_wc)
@@ -107,14 +108,18 @@ def test_klt_tracks_rendered_scene():
     cont = (np.asarray(o2.alive) > 0) & (np.asarray(o2.fresh) == 0) \
         & (np.asarray(o1.alive) > 0) & (np.asarray(o1.fresh) == 0)
     assert cont.sum() >= 15, f"only {cont.sum()} continuing tracks"
-    # camera moved +x (world) = forward; depth from RGB-D lets us check the
-    # normalized-coordinate flow against geometry: du = -t_x' / z per frame
-    # where the camera translates along its own +z (looking down world +x).
-    # Forward motion => features move radially outward from the image center.
+    # camera moved forward along its optical axis => features flow radially
+    # outward. Per-feature KLT noise (~0.3 px) swamps the expansion of
+    # near-center features, so check (a) the mean radial flow is positive
+    # and (b) off-center features (where expansion >> noise) flow outward.
     r1 = np.linalg.norm(np.asarray(o1.ray)[cont], axis=1)
     r2 = np.linalg.norm(np.asarray(o2.ray)[cont], axis=1)
-    frac_outward = np.mean(r2 > r1)
-    assert frac_outward > 0.8, f"outward flow fraction {frac_outward:.2f}"
+    dr = r2 - r1
+    assert dr.mean() > 0, f"mean radial flow {dr.mean():.5f}"
+    far = r1 > 0.12
+    assert far.sum() >= 8, f"only {far.sum()} off-center tracks"
+    frac_outward = np.mean(dr[far] > 0)
+    assert frac_outward > 0.7, f"outward flow fraction {frac_outward:.2f}"
 
 
 def test_voxel_map_recenter():
