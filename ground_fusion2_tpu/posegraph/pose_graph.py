@@ -57,8 +57,10 @@ class PoseGraph:
         self.n = 0
         self.p = np.zeros((N, 3), np.float32)       # optimized pose
         self.q = np.zeros((N, 4), np.float32)
+        self.q[:, 0] = 1.0    # identity: a zero quat NaNs under quat_log
         self.p_odom = np.zeros((N, 3), np.float32)  # raw odometry pose
         self.q_odom = np.zeros((N, 4), np.float32)
+        self.q_odom[:, 0] = 1.0
         self.desc = np.zeros((N, F, brief.N_WORDS), np.uint32)
         self.desc_valid = np.zeros((N, F), np.float32)
         self.gdesc = np.zeros((N, brief.GDIM), np.float32)

@@ -68,6 +68,9 @@ class EstimatorConfig:
     gnss_align_min_epochs: int = 5
     gnss_align_min_speed: float = 0.4
     gnss_refine_ticks: int = 15
+    outlier_px: float = 6.0              # landmark outlier gate (reference
+                                         # removeOutlier, estimator.cpp:1159)
+    focal: float = 460.0
     gnss_psr_std_thres: float = 2.0      # ingest filters (reference :1550-1578)
     gnss_dopp_std_thres: float = 2.0
     gnss_elev_thres_deg: float = 30.0
@@ -306,6 +309,14 @@ class VioEstimator:
             out = solve_window(self.state, meas, self.layout, vio_cfg)
             self.state = out.state
             cost = float(out.cost)
+
+            # landmark outlier removal at the solved state (reference
+            # removeOutlier / movingConsistencyCheckW)
+            if cfg.outlier_px > 0:
+                keep = fwin.outlier_mask(self.fw, self.state, cfg.outlier_px,
+                                         cfg.focal)
+                self.fw = self.fw._replace(
+                    track_valid=self.fw.track_valid * keep)
 
             is_kf_j, _, _ = fwin.parallax_keyframe_test(
                 self.fw, cfg.min_parallax, cfg.min_tracked)

@@ -266,6 +266,26 @@ def triangulate(fw: FeatureWindow, x: WindowState, rho: jax.Array,
     return rho_new, done
 
 
+def outlier_mask(fw: FeatureWindow, x: WindowState, px_thresh: float,
+                 focal: float = 460.0):
+    """Per-landmark outlier test after the solve (reference
+    ``removeOutlier`` / ``movingConsistencyCheckW``,
+    ``estimator.cpp:1159-1183, 4030``): mean reprojection error of each
+    track at the solved state; tracks above ``px_thresh`` pixels are killed.
+
+    Returns keep [F] {0,1} (1 also for tracks with no scoreable obs)."""
+    from ..factors.vio_factors import projection_residuals
+
+    r, w = projection_residuals(x, to_factor_table(fw), 1.0, huber_delta=1e9)
+    # r: [F, W, 2] in normalized-plane units (sqrt_info = 1)
+    err = jnp.linalg.norm(r, axis=-1) * focal            # px
+    wobs = w[..., 0]
+    cnt = jnp.sum(wobs, axis=1)
+    mean_err = jnp.sum(err * wobs, axis=1) / jnp.maximum(cnt, 1.0)
+    bad = (mean_err > px_thresh) & (cnt >= 1)
+    return 1.0 - bad.astype(fw.track_valid.dtype)
+
+
 def to_factor_table(fw: FeatureWindow):
     """View as the solver's FeatureTable (import-cycle-free adapter)."""
     from ..factors.vio_factors import FeatureTable

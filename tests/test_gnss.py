@@ -41,6 +41,68 @@ def test_constellation_orbits():
         np.testing.assert_allclose(vel, v_fd, rtol=2e-3, atol=2.0)
 
 
+def test_week_rollover():
+    """A measurement just after the week boundary must evaluate the
+    ephemeris ~900 s past toe, not -603900 s (reference
+    ``gnss_utility.cpp:453-456``)."""
+    eph = make_constellation(1)[0]
+    eph.toe = 604000.0
+    eph.toc = 604000.0
+    # same physical instant expressed two ways: late-week + dt, and
+    # early-next-week time-of-week
+    pos_direct, vel_direct, clk_d, _ = eph2pos(604000.0 + 900.0, eph)
+    pos_wrap, vel_wrap, clk_w, _ = eph2pos(100.0, eph)  # 604900 mod 604800
+    np.testing.assert_allclose(pos_wrap, pos_direct, atol=1e-3)
+    np.testing.assert_allclose(vel_wrap, vel_direct, atol=1e-6)
+    assert abs(clk_w - clk_d) < 1e-12
+
+
+def test_bds_geo_orbit():
+    """BDS GEO (prn <= 5, compressed id 96+) uses the tilted-frame branch:
+    geostationary radius, near-zero ECEF velocity (earth co-rotation), and
+    finite-difference velocity consistency."""
+    from ground_fusion2_tpu.gnss.ephemeris import Ephemeris
+    eph = Ephemeris(
+        sat=97,                   # BDS prn 2 -> GEO
+        toe=1000.0, toc=1000.0,
+        A=42164.2e3, e=0.0003, i0=np.radians(1.5),
+        OMG0=np.radians(100.0), omg=0.3, M0=1.0,
+        delta_n=0.0, OMG_dot=0.0, i_dot=0.0)
+    pos, vel, clk, drift = eph2pos(1500.0, eph)
+    r = np.linalg.norm(pos)
+    assert 4.21e7 < r < 4.23e7, r
+    # GEO co-rotates with the earth: ECEF speed well below MEO's ~3.9 km/s
+    assert np.linalg.norm(vel) < 300.0, np.linalg.norm(vel)
+    pos2, _, _, _ = eph2pos(1501.0, eph)
+    np.testing.assert_allclose((pos2 - pos), vel, rtol=5e-2, atol=0.5)
+
+
+def test_gnss_quality_filter():
+    """Ingest gates (reference estimator.cpp:1550-1578): std thresholds,
+    elevation mask, consecutive-track count."""
+    from ground_fusion2_tpu.gnss.factors import GnssQualityFilter
+    from ground_fusion2_tpu.gnss.spp import GnssMeas
+
+    def meas(sat, psr_std=1.0, dopp_std=0.5, el=np.radians(60)):
+        return GnssMeas(sat=sat, psr=2e7, dopp=0.0, psr_std=psr_std,
+                        dopp_std=dopp_std, sat_pos=np.zeros(3),
+                        sat_vel=np.zeros(3), azel=(0.0, el))
+
+    filt = GnssQualityFilter(track_thres=3)
+    epoch = [meas(1), meas(2, psr_std=5.0), meas(3, el=np.radians(10.0)),
+             meas(4, dopp_std=9.0)]
+    # first two epochs: everything below the track threshold
+    assert filt.filter(epoch) == []
+    assert filt.filter(epoch) == []
+    out = filt.filter(epoch)
+    assert [m.sat for m in out] == [1]   # quality gates drop 2/3/4
+    # a satellite that disappears loses its track count
+    filt.filter([meas(5)])
+    filt.filter([meas(5)])
+    out = filt.filter([meas(1), meas(5)])
+    assert [m.sat for m in out] == [5] or [m.sat for m in out] == []
+
+
 def test_spp_recovers_position():
     sim = GnssSim(psr_noise=0.5, dopp_noise=0.05)
     enu_true = np.array([10.0, -5.0, 2.0])

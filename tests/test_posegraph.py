@@ -107,6 +107,66 @@ def test_pose_graph_loop_closes_drift(rng):
     assert end_err < 0.4 * raw_err, (end_err, raw_err)
 
 
+@pytest.mark.slow
+def test_pose_graph_loop_closes_yaw_drift_6dof(rng):
+    """>30-degree accumulated yaw drift on a square loop: the PnP-RANSAC
+    loop edge (no odometry init) + 6-DoF optimization must recover both the
+    heading and the position of the revisit keyframe (VERDICT round-1 gap:
+    the old yaw+t LS with odometry init could not survive large drift)."""
+    from ground_fusion2_tpu.core import lie as L
+
+    cfg = PoseGraphConfig(capacity=128, num_feats=48, skip_recent=10,
+                          sim_thresh=0.6, six_dof=True)
+    pg = PoseGraph(cfg)
+
+    n_kf = 24
+    scene_imgs = [make_scene_image(np.random.default_rng(k))
+                  for k in range(n_kf)]
+    scene_imgs.append(scene_imgs[0])
+
+    side = 6
+    p_true, yaw_true = [], []
+    for k in range(n_kf + 1):
+        leg = (k // side) % 4
+        s = (k % side) / side * 6.0
+        base = {0: [s, 0], 1: [6, s], 2: [6 - s, 6], 3: [0, 6 - s]}[leg]
+        p_true.append([base[0], base[1], 0.0])
+        yaw_true.append([0.0, np.pi / 2, np.pi, -np.pi / 2][leg])
+    p_true = np.array(p_true)
+
+    # odometry with accumulated yaw drift: each relative step is rotated by
+    # the current heading error, so position error compounds too
+    yaw_drift = np.linspace(0.0, np.deg2rad(35.0), n_kf + 1)
+    p_odom = [p_true[0]]
+    for k in range(n_kf):
+        Rz = np.array([[np.cos(yaw_drift[k]), -np.sin(yaw_drift[k]), 0],
+                       [np.sin(yaw_drift[k]), np.cos(yaw_drift[k]), 0],
+                       [0, 0, 1.0]])
+        p_odom.append(p_odom[-1] + Rz @ (p_true[k + 1] - p_true[k]))
+    p_odom = np.array(p_odom)
+    yaw_odom = np.array(yaw_true) + yaw_drift
+
+    for k in range(n_kf + 1):
+        img = scene_imgs[k]
+        uv, ok = corners_of(img)
+        norm = (np.asarray(uv) - np.array([160, 120])) / 200.0
+        depth = np.full((uv.shape[0],), 4.0, np.float32)
+        q = np.asarray(L.quat_from_yaw(jnp.asarray(yaw_odom[k], jnp.float32)))
+        i = pg.add_keyframe(p_odom[k], q, img, uv, norm, depth, np.asarray(ok))
+        pg.detect_loop(i)
+    assert pg.loops, "no loop detected despite a revisit"
+    pg.optimize(iters=12)
+
+    raw_err = np.linalg.norm(p_odom[n_kf] - p_true[n_kf])
+    end_err = np.linalg.norm(pg.p[n_kf] - p_true[n_kf])
+    assert raw_err > 2.0          # the drift is large
+    assert end_err < 0.3 * raw_err, (end_err, raw_err)
+    # heading of the revisit keyframe recovered to within a few degrees
+    yaw_end = float(L.quat_yaw(jnp.asarray(pg.q[n_kf])))
+    yaw_err = abs((yaw_end - yaw_true[n_kf] + np.pi) % (2 * np.pi) - np.pi)
+    assert np.rad2deg(yaw_err) < 8.0, np.rad2deg(yaw_err)
+
+
 def test_pose_graph_save_load(tmp_path, rng):
     cfg = PoseGraphConfig(capacity=16, num_feats=32)
     pg = PoseGraph(cfg)

@@ -242,6 +242,25 @@ def test_window_ba_motion_factors():
     assert p_err.max() < 0.02, p_err
 
 
+def test_outlier_mask_kills_bad_landmark():
+    """Per-landmark outlier removal (reference removeOutlier): a landmark
+    with a corrupted depth must be flagged; healthy tracks survive."""
+    from ground_fusion2_tpu.vio import feature_window as fwin
+
+    x_true, x0, meas, layout = build_window(perturb=False)
+    f = meas.feats
+    fw = fwin.FeatureWindow(
+        ray=f.ray, vel=f.vel, depth=jnp.zeros_like(f.obs_valid),
+        obs_valid=f.obs_valid, anchor=f.anchor, track_valid=f.track_valid,
+        depth_fixed=f.depth_fixed)
+    x_bad = x_true._replace(rho=x_true.rho.at[5].mul(2.0).at[11].mul(0.5))
+    keep = np.asarray(fwin.outlier_mask(fw, x_bad, px_thresh=6.0))
+    assert keep[5] == 0.0 and keep[11] == 0.0
+    others = np.delete(np.arange(F_SLOTS), [5, 11])
+    live = np.asarray(f.track_valid)[others] > 0
+    assert keep[others][live].min() == 1.0
+
+
 def test_marginalization_prior_constrains():
     x_true, x0, meas, layout = build_window(perturb=True)
     cfg = VioConfig(num_feats=F_SLOTS)
