@@ -80,7 +80,7 @@ def _solve_damped(H, g, lam, free_mask):
     return dx * fm
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3), static_argnames=("dtype",))
 def lm_solve(
     residual_fn: Callable,
     dim: int,
@@ -106,12 +106,14 @@ def lm_solve(
     def cost_at(delta):
         r, w = residual_fn(delta)
         rw = r * w
-        return 0.5 * jnp.sum(rw * rw)
+        # keep the scan carry dtype-stable even when the residuals run at a
+        # different precision (e.g. f64 measurement runs)
+        return (0.5 * jnp.sum(rw * rw)).astype(dtype)
 
     def body(carry, _):
         delta, lam, cost = carry
         H, g, _ = normal_equations(residual_fn, delta)
-        dx = _solve_damped(H, g, lam, free_mask)
+        dx = _solve_damped(H, g, lam, free_mask).astype(dtype)
         new_delta = delta + dx
         new_cost = cost_at(new_delta)
         accept = new_cost < cost

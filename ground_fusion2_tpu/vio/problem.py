@@ -181,7 +181,8 @@ def solve_window(
     pose0 = jnp.zeros_like(free).at[layout.pose_off:layout.pose_off + 6].set(1.0)
     free = jnp.where(anchored, free, free * (1.0 - pose0))
 
-    out = lm_solve(residual_fn, layout.dim, cfg.max_iters, free_mask=free)
+    out = lm_solve(residual_fn, layout.dim, cfg.max_iters, free_mask=free,
+                   dtype=x0.p.dtype)
     x_new = layout.retract(x0, out.delta)
     return SolveResult(x_new, out.cost, out.cost0, out.H, out.g)
 
