@@ -80,7 +80,8 @@ def _solve_damped(H, g, lam, free_mask):
     return dx * fm
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3), static_argnames=("dtype",))
+@partial(jax.jit, static_argnames=(
+    "residual_fn", "dim", "max_iters", "inner_tries", "dtype"))
 def lm_solve(
     residual_fn: Callable,
     dim: int,
