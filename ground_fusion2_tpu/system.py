@@ -52,11 +52,25 @@ class GroundFusion:
     """
 
     def __init__(self, cfg: SystemConfig, tic=None, ric=None):
+        from .runtime.telemetry import Telemetry
+
         self.cfg = cfg
+        self._tic, self._ric = tic, ric
         self.vio = VioEstimator(cfg.vio, tic=tic, ric=ric)
         self.lio = LidarOdometry(cfg.lio) if cfg.use_lidar else None
         self.latest_vio: VioOutput | None = None
         self.trajectory: list[FusedOutput] = []
+        self.telemetry = Telemetry()
+
+    def restart(self):
+        """External estimator restart (the reference's ``/vins_restart``
+        topic, ``rosNodeTest.cpp:621-636``): rebuild both estimators from
+        scratch; the telemetry/trajectory history is preserved."""
+        self.vio = VioEstimator(self.cfg.vio, tic=self._tic, ric=self._ric)
+        self.lio = LidarOdometry(self.cfg.lio) if self.cfg.use_lidar else None
+        self.latest_vio = None
+        self.telemetry.event(self.trajectory[-1].t if self.trajectory
+                             else 0.0, "restart")
 
     # -- sensor inputs --------------------------------------------------
     def process_camera(self, t: float, obs: fwin.FrameObs, imu_chunk,
@@ -64,6 +78,16 @@ class GroundFusion:
         out = self.vio.process_frame(t, obs, imu_chunk, wheel_vel=wheel_vel,
                                      gnss_meas=gnss_meas)
         self.latest_vio = out
+        tm = self.telemetry
+        if out.initialized:
+            tm.pose("vio", t, out.p, out.q)
+        tm.tick(t, tracked=out.tracked, cost=out.cost,
+                stationary=out.stationary, wheel_anomaly=out.wheel_anomaly,
+                keyframe=out.is_keyframe, initialized=out.initialized)
+        if out.rebooted:
+            tm.event(t, "vio_reboot")
+        if out.stationary:
+            tm.event(t, "stationary")
         if self.lio is None and out.initialized:
             self.trajectory.append(FusedOutput(
                 t=t, p=out.p, q=out.q, p_vio=out.p,
@@ -80,6 +104,12 @@ class GroundFusion:
         out = self.lio.process_scan(t, pts_body, alpha, mask, imu_chunk,
                                     external_pose=ext)
         if out is not None:
+            tm = self.telemetry
+            tm.pose("lio_raw", t, out.p_lio, out.q_lio)
+            tm.pose("fused", t, out.p_fused, out.q_fused)
+            tm.tick(t, degenerate=out.degenerate, icp_corr=out.n_corr)
+            if out.switched:
+                tm.event(t, f"switch_{out.switched}")
             self.trajectory.append(FusedOutput(
                 t=t, p=out.p_fused, q=out.q_fused,
                 p_vio=None if ext is None else np.asarray(ext[0]),
@@ -96,3 +126,8 @@ class GroundFusion:
                 q = o.q
                 f.write(f"{o.t:.6f} {o.p[0]:.6f} {o.p[1]:.6f} {o.p[2]:.6f} "
                         f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n")
+
+    def save_telemetry(self, out_dir: str):
+        """Write every pose stream (TUM), tick statistics (JSONL), events,
+        and the printStatistics-style summary to ``out_dir``."""
+        self.telemetry.save(out_dir)

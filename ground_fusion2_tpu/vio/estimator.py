@@ -554,24 +554,31 @@ class VioEstimator:
         drop = np.concatenate([
             np.arange(lay.pose_off + sec * 6, lay.pose_off + (sec + 1) * 6),
             np.arange(lay.sb_off + sec * 9, lay.sb_off + (sec + 1) * 9),
+            np.arange(lay.gdt_off + sec * 4, lay.gdt_off + (sec + 1) * 4),
+            np.arange(lay.gddt_off + sec, lay.gddt_off + sec + 1),
         ])
         keep = np.setdiff1d(np.arange(lay.frame_dim), drop)
         prior = marginalize(H, g, keep, drop)
-        # kept dims map: frames < W-2 stay; frame W-1 -> W-2 slot
+        # kept dims map: frames < W-2 stay; frame W-1 -> W-2 slot. The same
+        # shift applies to per-frame GNSS clock dims (gdt/gddt); shared dims
+        # (extrinsics/td/wheel/cam2/yaw/anchor) map identically.
+        def frame_block(off, width):
+            segs = []
+            for k in range(W_):
+                if k == sec:
+                    continue
+                tgt = k if k < sec else k - 1
+                segs.append(np.arange(off + tgt * width,
+                                      off + (tgt + 1) * width))
+            return segs
+
         out = []
-        for k in range(W_):
-            if k == sec:
-                continue
-            tgt = k if k < sec else k - 1
-            out.append(np.arange(lay.pose_off + tgt * 6,
-                                 lay.pose_off + (tgt + 1) * 6))
-        for k in range(W_):
-            if k == sec:
-                continue
-            tgt = k if k < sec else k - 1
-            out.append(np.arange(lay.sb_off + tgt * 9,
-                                 lay.sb_off + (tgt + 1) * 9))
-        out.append(np.arange(lay.cam_off, lay.frame_dim))
+        out += frame_block(lay.pose_off, 6)
+        out += frame_block(lay.sb_off, 9)
+        out.append(np.arange(lay.cam_off, lay.gdt_off))
+        out += frame_block(lay.gdt_off, 4)
+        out += frame_block(lay.gddt_off, 1)
+        out.append(np.arange(lay.gyaw_off, lay.frame_dim))
         old_to_new = np.concatenate(out)
         return shift_prior(prior, old_to_new, lay.frame_dim)
 
