@@ -1,1 +1,1 @@
-from . import export  # noqa: F401
+from . import export, incremental  # noqa: F401
