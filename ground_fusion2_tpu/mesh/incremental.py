@@ -65,6 +65,8 @@ class MeshMap(NamedTuple):
     pts: jax.Array      # [N, 3] world-frame vertex positions
     rgb: jax.Array      # [N, 3] float color 0..255
     w: jax.Array        # [N] running color weight
+    pw: jax.Array       # [N] position observation count (running mean)
+    obs_dist: jax.Array  # [N] min observation distance (occlusion gate)
     vid: jax.Array      # [N] stable int32 vertex id (survives re-sorts)
     code: jax.Array     # [N] packed voxel code, INVALID empty, sorted
     origin: jax.Array   # [3] packing origin
@@ -79,6 +81,8 @@ class MeshMap(NamedTuple):
             pts=jnp.zeros((n, 3), dtype),
             rgb=jnp.zeros((n, 3), dtype),
             w=jnp.zeros((n,), dtype),
+            pw=jnp.zeros((n,), dtype),
+            obs_dist=jnp.full((n,), 1e9, dtype),
             vid=jnp.full((n,), -1, jnp.int32),
             code=jnp.full((n,), INVALID, jnp.int32),
             origin=o,
@@ -117,11 +121,20 @@ def _subcell(pts, origin, voxel_size):
 
 @partial(jax.jit, static_argnums=(3,))
 def insert(mesh: MeshMap, new_pts: jax.Array, new_mask: jax.Array,
-           cfg: MeshConfig) -> MeshMap:
+           cfg: MeshConfig):
     """Append masked world-frame points: min-spacing dedup at subcell
     resolution, per-voxel cap, stable vertex ids for survivors.  Existing
     vertices always win ties (the hash-grid dedup of
-    ``pointcloud_rgbd.cpp`` append semantics)."""
+    ``pointcloud_rgbd.cpp`` append semantics).
+
+    Returns ``(mesh, evicted_codes)``: ``evicted_codes`` [m] holds the voxel
+    codes of live vertices dropped by the capacity truncation (INVALID
+    entries = no eviction) so the caller can prune/dirty those voxels.
+
+    The surviving vertex of each subcell takes the *running mean* of all
+    observations that fell into it (weighted by prior observation count
+    ``pw``) — repeated scans of a surface denoise its vertices, the
+    fixed-shape analog of r3live's per-point Bayesian position update."""
     n, m = mesh.pts.shape[0], new_pts.shape[0]
     new_code = jnp.where(new_mask > 0,
                          _pack(_coords(new_pts, mesh.origin, cfg.voxel_size)),
@@ -130,13 +143,17 @@ def insert(mesh: MeshMap, new_pts: jax.Array, new_mask: jax.Array,
     pts = jnp.concatenate([mesh.pts, new_pts.astype(mesh.pts.dtype)])
     rgb = jnp.concatenate([mesh.rgb, jnp.zeros((m, 3), mesh.rgb.dtype)])
     w = jnp.concatenate([mesh.w, jnp.zeros((m,), mesh.w.dtype)])
+    pw = jnp.concatenate([mesh.pw, (new_code != INVALID).astype(mesh.pw.dtype)])
+    od = jnp.concatenate([mesh.obs_dist,
+                          jnp.full((m,), 1e9, mesh.obs_dist.dtype)])
     vid = jnp.concatenate([mesh.vid, new_vid])
     code = jnp.concatenate([mesh.code, new_code])
     sub = _subcell(pts, mesh.origin, cfg.voxel_size)
 
     def permute(order):
-        nonlocal pts, rgb, w, vid, code, sub
-        pts, rgb, w = pts[order], rgb[order], w[order]
+        nonlocal pts, rgb, w, pw, od, vid, code, sub
+        pts, rgb, w, pw, od = (pts[order], rgb[order], w[order], pw[order],
+                               od[order])
         vid, code, sub = vid[order], code[order], sub[order]
 
     permute(jnp.argsort(sub, stable=True))
@@ -147,14 +164,34 @@ def insert(mesh: MeshMap, new_pts: jax.Array, new_mask: jax.Array,
         [jnp.ones((1,), bool), code[1:] != code[:-1]])
     new_subcell = new_voxel | jnp.concatenate(
         [jnp.ones((1,), bool), sub[1:] != sub[:-1]])
+    # per-voxel cap over SURVIVING rows only: rank = number of kept
+    # (subcell-distinct) rows before this one within the voxel segment.
+    # Counting raw rows (idx - seg_start) would let dedup-dropped duplicates
+    # evict live vertices on idempotent re-insert.
     seg_start = jax.lax.cummax(jnp.where(new_voxel, idx, 0))
-    keep = (new_subcell & (idx - seg_start < cfg.max_per_voxel)
+    csum = jnp.cumsum(new_subcell.astype(jnp.int32))
+    rank = csum - csum[seg_start]                 # 0 for the segment's first
+    keep = (new_subcell & (rank < cfg.max_per_voxel)
             & (code != INVALID))
+
+    # running-mean position over each subcell segment (valid rows only)
+    seg_id = csum - 1                              # [n+m] subcell segment ids
+    pwv = jnp.where(code != INVALID, pw, 0.0)
+    seg_pw = jax.ops.segment_sum(pwv, seg_id, num_segments=n + m)
+    seg_px = jax.ops.segment_sum(pts * pwv[:, None], seg_id,
+                                 num_segments=n + m)
+    mean_pts = seg_px[seg_id] / jnp.maximum(seg_pw[seg_id], 1.0)[:, None]
+    pts = jnp.where(keep[:, None], mean_pts, pts)
+    pw = jnp.where(keep, jnp.minimum(seg_pw[seg_id], 1e4), pw)
+
     code = jnp.where(keep, code, INVALID)
     permute(jnp.argsort(code, stable=True))
-    return MeshMap(pts=pts[:n], rgb=rgb[:n], w=w[:n], vid=vid[:n],
-                   code=code[:n], origin=mesh.origin,
-                   next_vid=mesh.next_vid + m)
+    # rows beyond capacity are evicted; report any that were still live
+    evicted_codes = code[n:]
+    return MeshMap(pts=pts[:n], rgb=rgb[:n], w=w[:n], pw=pw[:n],
+                   obs_dist=od[:n], vid=vid[:n], code=code[:n],
+                   origin=mesh.origin,
+                   next_vid=mesh.next_vid + m), evicted_codes
 
 
 @partial(jax.jit, static_argnums=(5,))
@@ -167,15 +204,23 @@ def update_rgb(mesh: MeshMap, image: jax.Array, intr: jax.Array,
     capped running mean — the lock-free reinterpretation of
     ``RGB_pts::update_rgb`` (``mesh/src/meshing/r3live/pointcloud_rgbd.cpp``)
     done as one dense pass over the whole store instead of a
-    ``cv::parallel_for_`` over voxels."""
+    ``cv::parallel_for_`` over voxels.
+
+    Occlusion: each vertex tracks its minimum observation distance; a view
+    from much farther than the best one seen so far is likely looking at an
+    occluder in front of this vertex, so the color update is skipped
+    (reference ``RGB_pts::update_rgb`` obs-distance gate,
+    ``pointcloud_rgbd.cpp:138``, margin 1.2x)."""
     H, W = image.shape[0], image.shape[1]
     p_cam = (mesh.pts - t_wc[None]) @ r_wc            # [N, 3], R_wc^T (p - t)
     z = p_cam[:, 2]
     zs = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
     u = intr[0] * p_cam[:, 0] / zs + intr[2]
     v = intr[1] * p_cam[:, 1] / zs + intr[3]
+    dist = jnp.linalg.norm(p_cam, axis=-1)
     vis = ((z > cfg.min_z) & (u >= 0) & (u <= W - 1.001)
-           & (v >= 0) & (v <= H - 1.001) & (mesh.code != INVALID))
+           & (v >= 0) & (v <= H - 1.001) & (mesh.code != INVALID)
+           & (dist <= mesh.obs_dist * 1.2))
     u = jnp.clip(u, 0.0, W - 1.001)
     v = jnp.clip(v, 0.0, H - 1.001)
     u0, v0 = jnp.floor(u).astype(jnp.int32), jnp.floor(v).astype(jnp.int32)
@@ -195,8 +240,11 @@ def update_rgb(mesh: MeshMap, image: jax.Array, intr: jax.Array,
         (mesh.rgb * mesh.w[:, None] + sample * add[:, None])
         / jnp.maximum(new_w, 1.0)[:, None],
         mesh.rgb)
+    obs_dist = jnp.where(vis, jnp.minimum(mesh.obs_dist, dist),
+                         mesh.obs_dist)
     return mesh._replace(rgb=rgb,
-                         w=jnp.minimum(new_w, cfg.rgb_max_weight))
+                         w=jnp.minimum(new_w, cfg.rgb_max_weight),
+                         obs_dist=obs_dist)
 
 
 # --------------------------------------------------------------------------
@@ -259,8 +307,19 @@ def _delaunay_one(pts: jax.Array, vids: jax.Array, mask: jax.Array,
     a, b, c = p2[combos[:, 0]], p2[combos[:, 1]], p2[combos[:, 2]]
     o = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
          - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))    # [C] 2x area
+    # sliver filter: |o| / lmax^2 ≈ min-height / max-edge ratio; near-
+    # collinear triples have noise-dominated normals (jitter is 1e-3*voxel,
+    # sensor noise larger still), so demand a minimum shape quality rather
+    # than a tiny absolute area.
+    lmax2 = jnp.maximum(jnp.maximum(
+        jnp.sum((b - a) ** 2, -1), jnp.sum((c - b) ** 2, -1)),
+        jnp.sum((a - c) ** 2, -1))
+    # triangles smaller than the dedup subcell (voxel/SUB) are below the
+    # vertex-position noise floor — their normals are meaningless
+    min_edge = cfg.voxel_size / SUB * 0.8
     tri_valid = (mask[combos[:, 0]] & mask[combos[:, 1]] & mask[combos[:, 2]]
-                 & (jnp.abs(o) > (1e-6 * cfg.voxel_size ** 2)))
+                 & (jnp.abs(o) > 0.3 * lmax2)
+                 & (lmax2 > min_edge ** 2))
 
     A = a[:, None, :] - p2[None, :, :]                   # [C, M, 2]
     B = b[:, None, :] - p2[None, :, :]
@@ -344,12 +403,19 @@ class OnlineMesher:
     def __init__(self, cfg: MeshConfig | None = None, origin=None,
                  intrinsics=None):
         self.cfg = cfg or MeshConfig()
+        # retriangulation's per-voxel gather window must cover everything
+        # insert can store per voxel, or stored vertices silently drop out
+        # of the triangulation
+        assert self.cfg.gather_k >= self.cfg.max_per_voxel, (
+            f"gather_k ({self.cfg.gather_k}) must be >= max_per_voxel "
+            f"({self.cfg.max_per_voxel})")
         self.mesh = MeshMap.empty(self.cfg, origin=origin)
         self.intr = None if intrinsics is None else np.asarray(
             intrinsics, np.float32)
         self.tris: dict[int, np.ndarray] = {}   # voxel code -> [t, 3] vids
         self._pending: set[int] = set()
         self.frames = 0
+        self.evicted_vertices = 0       # capacity-overflow counter
 
     # -- intake ----------------------------------------------------------
     def add_frame(self, pts_world, mask=None, image=None, r_wc=None,
@@ -368,8 +434,16 @@ class OnlineMesher:
                 pad = chunk - p.shape[0]
                 p = np.concatenate([p, np.zeros((pad, 3), np.float32)])
                 m = np.concatenate([m, np.zeros((pad,), np.float32)])
-            self.mesh = insert(self.mesh, jnp.asarray(p), jnp.asarray(m),
-                               self.cfg)
+            self.mesh, evicted = insert(self.mesh, jnp.asarray(p),
+                                        jnp.asarray(m), self.cfg)
+            ev = np.asarray(evicted)
+            ev = ev[ev != int(INVALID)]
+            if ev.size:
+                # capacity overflow: vertices were dropped — their voxels'
+                # triangle sets are stale, re-mesh (or prune) them
+                self.evicted_vertices += int(ev.size)
+                for c in np.unique(ev):
+                    self._pending.add(int(c))
             self._mark_dirty(p[m > 0])
         if image is not None and self.intr is not None:
             self.mesh = update_rgb(
@@ -454,4 +528,5 @@ class OnlineMesher:
         return {"vertices": int((code != int(INVALID)).sum()),
                 "voxels_meshed": len(self.tris),
                 "triangles": int(self.triangles().shape[0]),
-                "frames": self.frames}
+                "frames": self.frames,
+                "evicted_vertices": self.evicted_vertices}

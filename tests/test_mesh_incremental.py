@@ -24,7 +24,7 @@ def test_insert_dedups_and_assigns_stable_vids(rng):
     cfg = im.MeshConfig(capacity=2048, insert_chunk=512)
     mesh = im.MeshMap.empty(cfg)
     pts = _floor_points(rng, n=512)
-    mesh = im.insert(mesh, jnp.asarray(pts), jnp.ones((512,)), cfg)
+    mesh, _ = im.insert(mesh, jnp.asarray(pts), jnp.ones((512,)), cfg)
     code = np.asarray(mesh.code)
     live = code != int(im.INVALID)
     n1 = int(live.sum())
@@ -35,7 +35,8 @@ def test_insert_dedups_and_assigns_stable_vids(rng):
     assert len(set(vids.tolist())) == n1
     assert vids.min() >= 0 and vids.max() < 512
     # re-inserting the same points must not create new vertices
-    mesh2 = im.insert(mesh, jnp.asarray(pts), jnp.ones((512,)), cfg)
+    mesh2, ev = im.insert(mesh, jnp.asarray(pts), jnp.ones((512,)), cfg)
+    assert np.all(np.asarray(ev) == int(im.INVALID))  # no capacity eviction
     live2 = np.asarray(mesh2.code) != int(im.INVALID)
     assert int(live2.sum()) == n1
     # survivors keep their original (stable) ids
@@ -139,6 +140,58 @@ def test_export_ply(tmp_path, rng):
         parts = fl.split()
         assert parts[0] == "3"
         assert all(0 <= int(x) < nv for x in parts[1:])
+
+
+def test_capacity_overflow_surfaces_evictions(rng):
+    """Overflowing cfg.capacity must report evicted voxels (not silently
+    truncate) and the mesher must re-mesh/prune them."""
+    cfg = im.MeshConfig(capacity=64, insert_chunk=256, max_per_voxel=12)
+    mesher = im.OnlineMesher(cfg)
+    pts = _floor_points(rng, extent=4.0, n=1000)  # far more survivors than 64
+    mesher.add_frame(pts)
+    assert mesher.evicted_vertices > 0
+    # no stale triangle may reference a dead vid
+    vids, _, _ = mesher.vertices()
+    live = set(int(v) for v in vids)
+    for t in mesher.triangles():
+        assert all(int(v) in live for v in t), "stale triangle after eviction"
+
+
+def test_update_rgb_occlusion_gate(rng):
+    """A far view must not repaint vertices first seen up close (reference
+    RGB_pts::update_rgb obs-distance gate, pointcloud_rgbd.cpp:138)."""
+    cfg = im.MeshConfig(capacity=2048, insert_chunk=512)
+    intr = np.array([200.0, 200.0, 120.0, 90.0], np.float32)
+    mesher = im.OnlineMesher(cfg, intrinsics=intr)
+    pts = _floor_points(rng, extent=1.0, n=512, z=0.0)
+    r_wc = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
+    img_red = np.zeros((180, 240, 3), np.float32)
+    img_red[:, :, 0] = 200.0
+    mesher.add_frame(pts, image=img_red, r_wc=r_wc,
+                     t_wc=np.array([0, 0, 2.0], np.float32))
+    _, _, rgb1 = mesher.vertices()
+    w1 = np.asarray(mesher.mesh.w).copy()
+    # same direction but 3x farther: outside the 1.2x margin -> skipped
+    img_blue = np.zeros_like(img_red)
+    img_blue[:, :, 2] = 200.0
+    mesher.add_frame(np.zeros((0, 3), np.float32), image=img_blue,
+                     r_wc=r_wc, t_wc=np.array([0, 0, 6.0], np.float32))
+    _, _, rgb2 = mesher.vertices()
+    seen = w1[np.asarray(mesher.mesh.code) != int(im.INVALID)] > 0
+    np.testing.assert_allclose(rgb2[seen], rgb1[seen], atol=1e-4)
+
+
+def test_position_running_mean_denoises(rng):
+    """Re-observing a surface must average vertex positions toward truth."""
+    cfg = im.MeshConfig(capacity=4096, insert_chunk=1024)
+    mesher = im.OnlineMesher(cfg)
+    base = _floor_points(rng, extent=1.5, n=1024, noise=0.0)
+    for _ in range(4):
+        noisy = base.copy()
+        noisy[:, 2] += rng.normal(0, 5e-3, base.shape[0]).astype(np.float32)
+        mesher.add_frame(noisy)
+    _, vpts, _ = mesher.vertices()
+    assert np.abs(vpts[:, 2]).std() < 4e-3   # below single-scan noise
 
 
 def test_delaunay_empty_circumcircle_property(rng):
