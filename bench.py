@@ -1,48 +1,49 @@
-"""Benchmark: full-pipeline frames/s + solver throughput on one chip.
+"""Benchmark: full-pipeline frames/s + LIO + solver throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Primary metric = the complete camera tick — CLAHE + Shi-Tomasi/KLT on real
-640x480 rendered frames + IMU re-preintegration + 11-frame window solve +
-marginalization — i.e. what the reference's vins_node does per processed
-image at ~10 Hz on an x86 desktop (images every 2nd frame,
+Primary metric = the complete fused camera tick — CLAHE + Shi-Tomasi/KLT +
+RANSAC on real 640x480 rendered frames + IMU re-preintegration + 11-frame
+window solve + marginalization + slide — executed as ONE compiled device
+step per frame (``ground_fusion2_tpu/vio/fused.py``). The reference does
+this tick on a desktop CPU at ~10 Hz (images every 2nd frame,
 ``estimator.cpp:226``; solver budget 0.04 s, ``m3dgr.yaml:108-109``).
-Extras report the LIO tick (ESKF + CT-ICP + map insert vs the reference's
-~10 Hz LiDAR cadence) and the bare window-solve rate.
+
+Stage budgeting: the primary pipeline stage always runs; the LIO and bare-
+solver extras run only if enough wall-clock budget remains (BENCH_BUDGET_S,
+default 520 s), so the script always finishes inside the driver's timeout.
+A persistent compilation cache makes reruns warm.
 """
 
 import json
+import os
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache_bench"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+
+BUDGET = float(os.environ.get("BENCH_BUDGET_S", 520))
+T0 = time.time()
 
 
-def bench_solver():
-    from ground_fusion2_tpu.data.example import make_example_window
-    from ground_fusion2_tpu.vio.problem import marginalize_oldest, solve_window
-
-    x_true, x0, meas, layout, cfg = make_example_window(num_feats=96)
-    out = solve_window(x0, meas, layout, cfg)
-    prior = marginalize_oldest(out.state, meas, layout, cfg)
-    jax.block_until_ready((out.state.p, prior.sqrt_J))
-    n = 50
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = solve_window(x0, meas, layout, cfg)
-        prior = marginalize_oldest(out.state, meas, layout, cfg)
-    jax.block_until_ready((out.state.p, prior.sqrt_J))
-    return n / (time.perf_counter() - t0)
+def left():
+    return BUDGET - (time.time() - T0)
 
 
-def bench_pipeline(n_frames=24, num_feats=96):
-    """Complete camera tick on rendered 640x480 frames."""
+def bench_pipeline(n_frames=36, num_feats=96):
+    """Fused camera tick on rendered 640x480 frames: frames/s steady-state."""
     from ground_fusion2_tpu.core.cameras import Pinhole
     from ground_fusion2_tpu.data import synthetic as sim
     from ground_fusion2_tpu.data.render import SceneRenderer, make_room_scene
-    from ground_fusion2_tpu.frontend.tracker import FeatureTracker, TrackerConfig
-    from ground_fusion2_tpu.vio.estimator import EstimatorConfig, VioEstimator
+    from ground_fusion2_tpu.frontend.tracker import TrackerConfig
+    from ground_fusion2_tpu.vio.estimator import EstimatorConfig
+    from ground_fusion2_tpu.vio.fused import FusedVio
 
     fx = fy = 607.8
     cx, cy = 328.8, 245.5
@@ -60,28 +61,35 @@ def bench_pipeline(n_frames=24, num_feats=96):
         i = (k + 1) * spf
         R_wb = np.asarray(sim._quat_to_mat(traj.q[i]))
         p_wb = traj.p[i] + [0, 0, 0.4]
-        gray, depth = rend.render(p_wb + R_wb @ np.zeros(3), R_wb @ ric)
+        gray, depth = rend.render(p_wb, R_wb @ ric)
         imu = (traj.acc_body[i - spf:i + 1].astype(np.float32),
                traj.gyr_body[i - spf:i + 1].astype(np.float32),
                np.full((spf,), 0.005, np.float32))
-        frames.append((traj.t[i], jnp.asarray(gray), jnp.asarray(depth), imu))
+        frames.append((traj.t[i], gray, depth, imu))
 
-    def run_once():
-        tracker = FeatureTracker(TrackerConfig(
-            num_slots=num_feats, equalize=True, use_ransac=True, focal=fx,
-            depth_range=(0.1, 20.0)), cam)
-        est = VioEstimator(EstimatorConfig(num_feats=num_feats),
-                           tic=np.zeros(3), ric=ric)
-        for (t, g, d, imu) in frames:
-            obs = tracker.track(t, g, d)
-            out = est.process_frame(t, obs, imu)
-        return out
+    fv = FusedVio(EstimatorConfig(num_feats=num_feats),
+                  TrackerConfig(num_slots=num_feats, equalize=True,
+                                use_ransac=True, focal=fx,
+                                depth_range=(0.1, 20.0)),
+                  cam, tic=np.zeros(3), ric=ric,
+                  depth_stride=2, pipelined=True)
 
-    run_once()                      # compile + warm every branch
-    t0 = time.perf_counter()
-    out = run_once()
-    dt = (time.perf_counter() - t0) / n_frames
-    return 1.0 / dt
+    # warm-up: legacy init + first fused ticks (compile)
+    tick_times = []
+    n_warm_fused = 0
+    for (t, g, d, imu) in frames:
+        was_fused = fv.carry is not None
+        t0 = time.perf_counter()
+        fv.process_image(t, g, d, imu)
+        dt = time.perf_counter() - t0
+        if was_fused:
+            n_warm_fused += 1
+            if n_warm_fused > 2:          # skip compile + first warm tick
+                tick_times.append(dt)
+    fv.flush()
+    assert tick_times, "pipeline never reached steady state"
+    arr = np.asarray(tick_times)
+    return 1.0 / arr.mean(), float(np.median(arr)), len(arr)
 
 
 def bench_lio(n_scans=20):
@@ -116,21 +124,50 @@ def bench_lio(n_scans=20):
     return n_scans / (time.perf_counter() - t0)
 
 
+def bench_solver():
+    from ground_fusion2_tpu.data.example import make_example_window
+    from ground_fusion2_tpu.vio.problem import marginalize_oldest, solve_window
+
+    x_true, x0, meas, layout, cfg = make_example_window(num_feats=96)
+    out = solve_window(x0, meas, layout, cfg)
+    prior = marginalize_oldest(out.state, meas, layout, cfg)
+    jax.block_until_ready((out.state.p, prior.sqrt_J))
+    n = 50
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = solve_window(x0, meas, layout, cfg)
+        prior = marginalize_oldest(out.state, meas, layout, cfg)
+    jax.block_until_ready((out.state.p, prior.sqrt_J))
+    return n / (time.perf_counter() - t0)
+
+
 def main():
-    pipeline_fps = bench_pipeline()
-    lio_fps = bench_lio()
-    solver_fps = bench_solver()
-    baseline_pipeline = 10.0   # reference CPU cadence (~10 Hz processed images)
+    pipeline_fps, tick_p50, n_timed = bench_pipeline()
+    extras = {
+        "pipeline_tick_p50_ms": round(tick_p50 * 1e3, 2),
+        "pipeline_ticks_timed": n_timed,
+    }
+    if left() > 150:
+        try:
+            extras["lio_ticks_per_s"] = round(bench_lio(), 2)
+        except Exception as e:          # never lose the primary metric
+            extras["lio_error"] = str(e)[:120]
+    if left() > 60:
+        try:
+            sps = bench_solver()
+            extras["window_solves_per_s"] = round(sps, 2)
+            extras["solver_vs_ceres_budget"] = round(sps / 25.0, 2)
+        except Exception as e:
+            extras["solver_error"] = str(e)[:120]
+    baseline_pipeline = 10.0   # reference CPU cadence (~10 Hz processed imgs)
     print(json.dumps({
         "metric": "pipeline_frames_per_s_per_chip",
         "value": round(pipeline_fps, 2),
-        "unit": "camera ticks/s (CLAHE+KLT+RANSAC 640x480 + preint + "
-                "11-frame solve + marginalization)",
+        "unit": "camera ticks/s (fused CLAHE+KLT+RANSAC 640x480 + preint + "
+                "11-frame solve + marginalization, one device step/frame)",
         "vs_baseline": round(pipeline_fps / baseline_pipeline, 2),
-        "lio_ticks_per_s": round(lio_fps, 2),
-        "window_solves_per_s": round(solver_fps, 2),
-        "solver_vs_ceres_budget": round(solver_fps / 25.0, 2),
-    }))
+        **extras,
+    }), flush=True)
 
 
 if __name__ == "__main__":

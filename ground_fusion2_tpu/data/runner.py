@@ -44,6 +44,7 @@ def run_synthetic_sequence(
     static_time: float = 1.5,
     ramp_time: float = 1.0,
     cfg: EstimatorConfig | None = None,
+    fused: bool = False,
 ) -> SequenceResult:
     rng = np.random.default_rng(seed)
     traj = sim.make_planar_trajectory(
@@ -62,7 +63,15 @@ def run_synthetic_sequence(
     if cfg is None:
         cfg = EstimatorConfig(num_feats=num_feats, use_wheel=use_wheel,
                               use_gnss=use_gnss)
-    est = VioEstimator(cfg, tic=cam.tic, ric=cam.ric)
+    if fused:
+        from ..core.cameras import Pinhole
+        from ..frontend.tracker import TrackerConfig
+        from ..vio.fused import FusedVio
+        est = FusedVio(cfg, TrackerConfig(num_slots=num_feats),
+                       Pinhole.create(460.0, 460.0, 320.0, 240.0),
+                       tic=cam.tic, ric=cam.ric)
+    else:
+        est = VioEstimator(cfg, tic=cam.tic, ric=cam.ric)
 
     gsim = None
     if use_gnss:
@@ -92,8 +101,13 @@ def run_synthetic_sequence(
             gnss_meas = gsim.measurements(
                 t=50.0 + t, enu_pos=Rz @ traj.p[i1], enu_vel=Rz @ traj.v[i1],
                 clk_bias=5.0, clk_drift=0.5)
-        out = est.process_frame(t, obs, imu_chunk, wheel_vel=wvel[i0:i1 + 1],
-                                gnss_meas=gnss_meas)
+        if fused:
+            out = est.process_obs(t, obs, imu_chunk,
+                                  wheel_vel=wvel[i0:i1 + 1])
+        else:
+            out = est.process_frame(t, obs, imu_chunk,
+                                    wheel_vel=wvel[i0:i1 + 1],
+                                    gnss_meas=gnss_meas)
         outputs.append(out)
         ts.append(t)
         est_p.append(out.p); est_q.append(out.q)

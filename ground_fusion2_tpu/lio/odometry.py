@@ -74,6 +74,7 @@ class LidarOdometry:
         self.vmap = vm.VoxelMap.empty(cfg.map_cfg)
         self.initialized = False
         self.frame_idx = 0
+        self.last_cloud = None   # (p_world [N,3], mask [N]) of the last scan
         self._init_acc: list[np.ndarray] = []
         self._init_gyr: list[np.ndarray] = []
         # switch state (mirrors reference flags)
@@ -230,6 +231,9 @@ class LidarOdometry:
                          t_end=jnp.asarray(t_e, jnp.float32))
         p_w = ci.transform_points(pose, jnp.asarray(pts, jnp.float32),
                                   jnp.asarray(alpha, jnp.float32))
+        # world-frame cloud published downstream (the reference's /scan
+        # topic consumed by ImMesh, main_eskf.cpp:177-358)
+        self.last_cloud = (p_w, jnp.asarray(mask, jnp.float32))
         self.vmap = vm.insert(self.vmap, p_w,
                               jnp.asarray(mask, jnp.float32), self.cfg.map_cfg)
 

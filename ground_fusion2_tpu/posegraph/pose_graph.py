@@ -70,6 +70,10 @@ class PoseGraph:
         self.loops = []
         self.drift_p = np.zeros(3, np.float32)
         self.drift_yaw = 0.0
+        # session boundaries: a loaded graph is a separate odometry sequence
+        # (reference sequence_cnt in pose_graph.cpp) — sequential edges must
+        # not cross it, only loop edges link sessions
+        self.session_starts = [0]
 
     # ------------------------------------------------------------------
     def add_keyframe(self, p, q, img, uv, norm_xy, depth, valid) -> int:
@@ -257,6 +261,8 @@ class PoseGraph:
         seq_dyaw = np.zeros((cap - 1,), np.float32)
         seq_valid = np.zeros((cap - 1,), np.float32)
         for k in range(n - 1):
+            if (k + 1) in self.session_starts:
+                continue   # don't link across sessions (different odom frames)
             Rz = _yaw_rot(yaw_odom[k]).T
             seq_dp[k] = Rz @ (self.p_odom[k + 1] - self.p_odom[k])
             seq_dyaw[k] = _wrap(yaw_odom[k + 1] - yaw_odom[k])
@@ -313,6 +319,8 @@ class PoseGraph:
         seq_dq[:, 0] = 1.0
         seq_valid = np.zeros((cap - 1,), np.float32)
         for k in range(n - 1):
+            if (k + 1) in self.session_starts:
+                continue   # don't link across sessions
             Rk = np.asarray(lie.quat_to_mat(jnp.asarray(self.q_odom[k])))
             seq_dp[k] = Rk.T @ (self.p_odom[k + 1] - self.p_odom[k])
             seq_dq[k] = np.asarray(lie.quat_mul(
@@ -373,6 +381,7 @@ class PoseGraph:
         pg.loops = [(int(r[0]), int(r[1]), r[2:5].astype(np.float32),
                      float(r[5]), r[6:10].astype(np.float32))
                     for r in z["loops"]]
+        pg.session_starts = [0, pg.n]
         return pg
 
 
@@ -427,6 +436,13 @@ def _solve_4dof(p0, yaw0, node_valid, seq_dp, seq_dyaw, seq_valid,
                           jnp.stack([-s, c, z], -1),
                           jnp.stack([z, z, o], -1)], -2)  # [.., 3, 3] R^T
 
+    def wrap(a):
+        # yaw residuals must be angle-wrapped: node yaws re-wrap to (-pi, pi]
+        # between incremental optimizations, so an unwrapped difference sees
+        # spurious +-2pi jumps on trajectories that cross the seam (the
+        # reference's NormalizeAngle local parameterization does the same)
+        return (a + jnp.pi) % (2 * jnp.pi) - jnp.pi
+
     def residuals(delta):
         d = delta.reshape(N, 4)
         p = p0 + d[:, :3]
@@ -435,14 +451,14 @@ def _solve_4dof(p0, yaw0, node_valid, seq_dp, seq_dyaw, seq_valid,
         RT = rzT(yaw[:-1])
         dp_est = jnp.einsum("nij,nj->ni", RT, p[1:] - p[:-1])
         r_seq_t = (dp_est - seq_dp) * w_t
-        r_seq_y = (yaw[1:] - yaw[:-1] - seq_dyaw) * w_yaw
+        r_seq_y = wrap(yaw[1:] - yaw[:-1] - seq_dyaw) * w_yaw
         w_seq = seq_valid
         # loop edges: edge (i, j): dp in i frame
         pi, pj = p[loop_i], p[loop_j]
         RTl = rzT(yaw[loop_i])
         dp_l = jnp.einsum("nij,nj->ni", RTl, pj - pi)
         r_loop_t = (dp_l - loop_dp) * wl_t
-        r_loop_y = (yaw[loop_j] - yaw[loop_i] - loop_dyaw) * wl_yaw
+        r_loop_y = wrap(yaw[loop_j] - yaw[loop_i] - loop_dyaw) * wl_yaw
         r = jnp.concatenate([
             r_seq_t.reshape(-1), r_seq_y, r_loop_t.reshape(-1), r_loop_y])
         w = jnp.concatenate([

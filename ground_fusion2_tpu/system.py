@@ -2,15 +2,28 @@
 
 The single-process equivalent of the reference's launch topology
 (``lio/launch/run_m3dgr.launch``: vins_node + groundfusion2_eskf +
-ImMesh): the VIO estimator consumes camera/IMU/wheel/GNSS, publishes
-IMU-rate propagated poses; the LIO consumes LiDAR/IMU plus that external
-pose stream and runs the degeneracy-aware switch; the fused pose is the
-system output (the reference's ``/laser_pose``). ROS topics become direct
-function calls on host ring buffers; each subsystem's device code stays its
-own compiled program.
+ImMesh, plus the optional dense_map and global_fusion nodes): the VIO
+estimator consumes camera/IMU/wheel/GNSS, publishes IMU-rate propagated
+poses; the LIO consumes LiDAR/IMU plus that external pose stream and runs
+the degeneracy-aware switch; the fused pose is the system output (the
+reference's ``/laser_pose``). ROS topics become direct function calls on
+host ring buffers; each subsystem's device code stays its own compiled
+program.
 
-Optional: loop-closure pose graph (dense_map) fed by VIO keyframes, global
-GNSS anchoring (global_fusion) fed by VIO odometry + LLA fixes.
+Optional subsystems, wired the way the reference nodes subscribe:
+
+* **loop closure** (dense_map, ``pose_graph_node.cpp:903-932``): VIO
+  keyframes (image + tracked corners + depths) feed :class:`PoseGraph`;
+  detected loops trigger 4-DoF optimization and the accumulated drift
+  correction is applied to the published trajectory (the reference's
+  re-publish path). A previously saved graph can be loaded for
+  relocalization (``load_previous_pose_graph``, m3dgr.yaml:150-152).
+* **global fusion** (``globalOptNode.cpp:125-140``): keyframe odometry +
+  GPS-ENU / AprilTag anchors feed :class:`GlobalFusion`, which maintains
+  the local→global alignment (``WGPS_T_WVIO``).
+* **meshing** (ImMesh, ``ImMesh_mesh_reconstruction.cpp:734-800``): the
+  LIO's world-frame scan + fused pose + camera image feed
+  :class:`OnlineMesher`.
 """
 
 from __future__ import annotations
@@ -31,6 +44,23 @@ class SystemConfig:
     vio: EstimatorConfig = field(default_factory=EstimatorConfig)
     lio: LioConfig = field(default_factory=LioConfig)
     use_lidar: bool = True
+    # loop closure (dense_map analog)
+    use_loop_closure: bool = False
+    pose_graph: object | None = None          # PoseGraphConfig
+    load_pose_graph: str | None = None        # relocalization source
+    # global fusion (global_fusion analog)
+    use_global_fusion: bool = False
+    global_every: int = 5                     # optimize cycle in keyframes
+                                              # (reference: 2 s thread)
+    # meshing (ImMesh analog)
+    use_mesh: bool = False
+    mesh: object | None = None                # MeshConfig
+    mesh_intrinsics: tuple | None = None      # (fx, fy, cx, cy) for texture
+    # camera intrinsics for keyframe pixel projection (loop closure BRIEF)
+    cam_intr: tuple = (460.0, 460.0, 320.0, 240.0)
+    kf_cell: int = 20      # fresh keyframe corner grid (reference detects
+                           # ~500 new FAST corners per keyframe,
+                           # keyframe.cpp computeBRIEFPoint)
 
 
 class FusedOutput(NamedTuple):
@@ -61,6 +91,27 @@ class GroundFusion:
         self.latest_vio: VioOutput | None = None
         self.trajectory: list[FusedOutput] = []
         self.telemetry = Telemetry()
+        self.pg = None
+        self.gfusion = None
+        self.mesher = None
+        self._n_keyframes = 0
+        if cfg.use_loop_closure:
+            from .posegraph.pose_graph import PoseGraph, PoseGraphConfig
+            pg_cfg = cfg.pose_graph or PoseGraphConfig(
+                num_feats=cfg.vio.num_feats,
+                ric=np.asarray(ric) if ric is not None else np.eye(3),
+                tic=np.asarray(tic) if tic is not None else np.zeros(3))
+            if cfg.load_pose_graph:
+                self.pg = PoseGraph.load(cfg.load_pose_graph, pg_cfg)
+            else:
+                self.pg = PoseGraph(pg_cfg)
+        if cfg.use_global_fusion:
+            from .gnss.global_opt import GlobalFusion
+            self.gfusion = GlobalFusion()
+        if cfg.use_mesh:
+            from .mesh.incremental import MeshConfig, OnlineMesher
+            self.mesher = OnlineMesher(cfg.mesh or MeshConfig(),
+                                       intrinsics=cfg.mesh_intrinsics)
 
     def restart(self):
         """External estimator restart (the reference's ``/vins_restart``
@@ -72,9 +123,30 @@ class GroundFusion:
         self.telemetry.event(self.trajectory[-1].t if self.trajectory
                              else 0.0, "restart")
 
+    # -- drift correction ------------------------------------------------
+    def loop_corrected(self, p, q):
+        """Apply the pose graph's accumulated drift correction (the
+        reference's corrected-path republish, ``pose_graph.cpp``)."""
+        if self.pg is None:
+            return np.asarray(p), np.asarray(q)
+        from .posegraph.pose_graph import _yaw_rot
+        import jax.numpy as jnp
+        Rz = _yaw_rot(self.pg.drift_yaw)
+        p_c = Rz @ np.asarray(p) + self.pg.drift_p
+        q_c = np.asarray(lie.quat_mul(
+            lie.quat_from_yaw(jnp.asarray(self.pg.drift_yaw, jnp.float32)),
+            jnp.asarray(q, jnp.float32)))
+        return p_c.astype(np.float32), q_c
+
     # -- sensor inputs --------------------------------------------------
     def process_camera(self, t: float, obs: fwin.FrameObs, imu_chunk,
-                       wheel_vel=None, gnss_meas=None) -> VioOutput:
+                       wheel_vel=None, gnss_meas=None, img=None,
+                       depth_img=None, gps_enu=None,
+                       gps_std: float = 1.0) -> VioOutput:
+        """One camera tick. ``img`` (grayscale [H, W]) enables loop-closure
+        keyframe description (``depth_img`` seeds the loop geometry);
+        ``gps_enu`` attaches a global anchor to this tick's keyframe
+        (global fusion)."""
         out = self.vio.process_frame(t, obs, imu_chunk, wheel_vel=wheel_vel,
                                      gnss_meas=gnss_meas)
         self.latest_vio = out
@@ -88,14 +160,67 @@ class GroundFusion:
             tm.event(t, "vio_reboot")
         if out.stationary:
             tm.event(t, "stationary")
+
+        if out.initialized and out.is_keyframe:
+            self._n_keyframes += 1
+            self._on_keyframe(t, out, img, depth_img, gps_enu, gps_std)
+
         if self.lio is None and out.initialized:
+            p_c, q_c = self.loop_corrected(out.p, out.q)
+            if self.pg is not None:
+                tm.pose("loop_corrected", t, p_c, q_c)
             self.trajectory.append(FusedOutput(
-                t=t, p=out.p, q=out.q, p_vio=out.p,
+                t=t, p=p_c, q=q_c, p_vio=out.p,
                 degenerate=False, switched="", source="vio"))
         return out
 
-    def process_lidar(self, t: float, pts_body, alpha, mask, imu_chunk):
-        """One sweep; uses the latest VIO pose as the external stream."""
+    def _on_keyframe(self, t, out: VioOutput, img, depth_img,
+                     gps_enu, gps_std):
+        """Keyframe fan-out: pose graph + global fusion (the reference's
+        keyframe topic consumers)."""
+        tm = self.telemetry
+        if self.pg is not None and img is not None:
+            import jax.numpy as jnp
+            from .frontend import klt
+            # fresh per-keyframe corners: tracker slots carry corners
+            # tracked from OTHER views; place recognition needs this view's
+            # own corners (reference computeBRIEFPoint, keyframe.cpp)
+            F = self.pg.cfg.num_feats
+            fx, fy, cx, cy = self.cfg.cam_intr
+            resp = klt.shi_tomasi(jnp.asarray(img, jnp.float32))
+            uv_j, _, ok = klt.detect_grid(
+                resp, jnp.zeros((F, 2), jnp.float32), self.cfg.kf_cell, F,
+                occupied_mask=jnp.zeros((F,), jnp.float32))
+            uv = np.asarray(uv_j)
+            valid = np.asarray(ok)
+            ray = ((uv - [cx, cy]) / [fx, fy]).astype(np.float32)
+            if depth_img is not None:
+                depth = np.asarray(klt._bilinear(
+                    jnp.asarray(depth_img, jnp.float32), uv_j))
+            else:
+                depth = np.zeros((F,), np.float32)
+            i = self.pg.add_keyframe(out.p, out.q, img, uv, ray, depth,
+                                     valid)
+            if i >= 0:
+                loop = self.pg.detect_loop(i)
+                if loop is not None:
+                    j, _, _ = loop
+                    self.pg.optimize()
+                    tm.event(t, f"loop_closed_{j}_{i}")
+        if self.gfusion is not None:
+            self.gfusion.input_odom(out.p, out.q)
+            idx = self.gfusion.n - 1
+            if gps_enu is not None and idx >= 0:
+                self.gfusion.input_gps(idx, gps_enu, std=gps_std)
+            if idx >= 1 and self._n_keyframes % self.cfg.global_every == 0:
+                self.gfusion.optimize()
+                tm.event(t, "global_opt")
+
+    def process_lidar(self, t: float, pts_body, alpha, mask, imu_chunk,
+                      img=None, cam_pose_world=None):
+        """One sweep; uses the latest VIO pose as the external stream.
+        ``img`` + ``cam_pose_world`` (R_wc, t_wc) optionally texture the
+        online mesh (the reference's /img into ImMesh)."""
         if self.lio is None:
             return None
         ext = None
@@ -115,6 +240,14 @@ class GroundFusion:
                 p_vio=None if ext is None else np.asarray(ext[0]),
                 degenerate=out.degenerate, switched=out.switched,
                 source="fused"))
+            if self.mesher is not None and self.lio.last_cloud is not None:
+                p_w, m = self.lio.last_cloud
+                kwargs = {}
+                if img is not None and cam_pose_world is not None:
+                    kwargs = dict(image=img, r_wc=cam_pose_world[0],
+                                  t_wc=cam_pose_world[1])
+                self.mesher.add_frame(np.asarray(p_w), np.asarray(m),
+                                      **kwargs)
         return out
 
     # -- outputs ---------------------------------------------------------
@@ -126,6 +259,15 @@ class GroundFusion:
                 q = o.q
                 f.write(f"{o.t:.6f} {o.p[0]:.6f} {o.p[1]:.6f} {o.p[2]:.6f} "
                         f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n")
+
+    def save_pose_graph(self, path: str):
+        if self.pg is not None:
+            self.pg.save(path)
+
+    def export_mesh(self, path: str):
+        if self.mesher is not None:
+            return self.mesher.export_ply(path)
+        return None
 
     def save_telemetry(self, out_dir: str):
         """Write every pose stream (TUM), tick statistics (JSONL), events,

@@ -36,12 +36,10 @@ from ..core import lie
 from ..factors.vio_factors import imu_sqrt_info
 from ..sensors.imu_preint import ImuNoise, preintegrate, propagate_state
 from ..sensors.wheel_preint import WheelNoise, preintegrate_wheel
-from ..solver.marginalize import MargPrior, marginalize, shift_prior
+from ..solver.marginalize import MargPrior
 from ..gnss.factors import GnssTable
 from . import feature_window as fwin
 from .problem import VioConfig, VioMeasurements, marginalize_oldest, solve_window
-from .problem import build_residual_fn
-from ..solver.gauss_newton import normal_equations
 from .state import NUM_FRAMES, WindowLayout, WindowState
 
 MAX_IMU_PER_INTERVAL = 128   # ≥ 200 Hz * 0.5 s frame spacing
@@ -289,18 +287,25 @@ class VioEstimator:
             self.state = self.state._replace(rho=rho_new)
             self.rho_init = jnp.maximum(self.rho_init, done.astype(jnp.float32))
 
+            # plane/motion factors fire per config (reference enables them
+            # via use_plane/use_motion YAML keys, estimator.cpp:3214-3238)
+            fdt = np.full((NUM_FRAMES - 1,), 0.1, np.float32)
+            if len(self.times) > 1:
+                d = np.diff(np.asarray(self.times, np.float64))
+                fdt[: len(d)] = np.maximum(d[: NUM_FRAMES - 1], 1e-3)
             meas = VioMeasurements(
                 feats=fwin.to_factor_table(self.fw),
                 imu=pre, imu_valid=jnp.asarray(self.imu_valid),
                 imu_sqrt_info=sinfo,
                 wheel=wpre, wheel_valid=jnp.asarray(self.wheel_valid),
                 wheel_sqrt_info=wsinfo,
-                plane_valid=jnp.zeros(()),
+                plane_valid=jnp.asarray(1.0 if cfg.vio.use_plane else 0.0),
                 stationary=jnp.asarray(1.0 if stationary else 0.0),
                 gnss=self._gnss_table(),
                 gnss_enabled=jnp.asarray(
                     1.0 if self._gnss_enabled() else 0.0),
                 prior=self.prior, prior_state=self.prior_state,
+                frame_dt=jnp.asarray(fdt),
             )
             vio_cfg = cfg.vio
             if self.gnss_refine_left > 0:
@@ -540,47 +545,8 @@ class VioEstimator:
     def _marginalize_second_new(self) -> MargPrior:
         """Drop frame W-2's dims from the existing prior only (the reference
         marginalizes just the prior's dependence for SECOND_NEW)."""
-        lay = self.layout
-        dx0 = jnp.zeros((lay.frame_dim,), jnp.float32)
-        r, w = self.prior.residual(dx0)
-
-        def res_fn(delta):
-            rr = self.prior.sqrt_J @ delta[: lay.frame_dim] + self.prior.r0
-            return rr, jnp.broadcast_to(self.prior.valid, rr.shape)
-
-        H, g, _ = normal_equations(res_fn, jnp.zeros((lay.frame_dim,), jnp.float32))
-        W_ = lay.W
-        sec = W_ - 2
-        drop = np.concatenate([
-            np.arange(lay.pose_off + sec * 6, lay.pose_off + (sec + 1) * 6),
-            np.arange(lay.sb_off + sec * 9, lay.sb_off + (sec + 1) * 9),
-            np.arange(lay.gdt_off + sec * 4, lay.gdt_off + (sec + 1) * 4),
-            np.arange(lay.gddt_off + sec, lay.gddt_off + sec + 1),
-        ])
-        keep = np.setdiff1d(np.arange(lay.frame_dim), drop)
-        prior = marginalize(H, g, keep, drop)
-        # kept dims map: frames < W-2 stay; frame W-1 -> W-2 slot. The same
-        # shift applies to per-frame GNSS clock dims (gdt/gddt); shared dims
-        # (extrinsics/td/wheel/cam2/yaw/anchor) map identically.
-        def frame_block(off, width):
-            segs = []
-            for k in range(W_):
-                if k == sec:
-                    continue
-                tgt = k if k < sec else k - 1
-                segs.append(np.arange(off + tgt * width,
-                                      off + (tgt + 1) * width))
-            return segs
-
-        out = []
-        out += frame_block(lay.pose_off, 6)
-        out += frame_block(lay.sb_off, 9)
-        out.append(np.arange(lay.cam_off, lay.gdt_off))
-        out += frame_block(lay.gdt_off, 4)
-        out += frame_block(lay.gddt_off, 1)
-        out.append(np.arange(lay.gyaw_off, lay.frame_dim))
-        old_to_new = np.concatenate(out)
-        return shift_prior(prior, old_to_new, lay.frame_dim)
+        from .problem import marginalize_second_newest
+        return marginalize_second_newest(self.prior, self.layout)
 
     # ------------------------------------------------------------- GNSS
     def _mean_speed(self) -> float:

@@ -1,0 +1,695 @@
+"""Fully fused camera tick: tracker + window estimator in ONE compiled step.
+
+The reference processes each image through a chain of host-side stages
+(``estimator.cpp:554-763``: trackImage → processIMU → processImage →
+optimization → slideWindow), each a C++ call on one machine. Round-2
+measurement showed the same chain expressed as *many small jitted calls*
+costs ~1 s/frame on a remote TPU — every dispatch pays the host↔device
+round trip. This module is the TPU-native answer: the entire steady-state
+tick
+
+    KLT track → refill → add_frame → write IMU interval → propagate →
+    re-preintegrate window → degradation detectors → triangulate →
+    window LM solve → outlier gate → keyframe test →
+    {no-slide | MARGIN_OLD | MARGIN_SECOND_NEW} (lax.switch)
+
+is one jitted program over a single device-resident carry pytree.  Per tick
+the host sends the frame (image/depth/IMU chunk) and reads back one small
+scalar record — ≤ 2 host↔device transfers.
+
+Warm-up (window filling) and initialization run through the existing
+:class:`~.estimator.VioEstimator` (bit-identical init behavior, perf
+irrelevant for ≤ 11 frames); once initialized the state transfers into the
+device carry and every subsequent frame takes the fused path. All decision
+logic (keyframe, anomaly, stationary, slide mode) is traced — ``lax.switch``
+over the three slide variants replaces the host ``if``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend import klt
+from ..frontend.clahe import clahe
+from ..frontend.ransac import ransac_f_reject
+from ..gnss.factors import GnssTable
+from ..sensors.imu_preint import propagate_state
+from ..solver.marginalize import MargPrior
+from . import feature_window as fwin
+from .estimator import (MAX_IMU_PER_INTERVAL, EstimatorConfig, VioEstimator,
+                        VioOutput, _drop_second_newest, _preintegrate_all,
+                        _shift_state_left)
+from .problem import (VioMeasurements, marginalize_oldest,
+                      marginalize_second_newest, solve_window)
+from .state import NUM_FRAMES, WindowLayout, WindowState
+
+
+class TrackerCarry(NamedTuple):
+    """Device-resident tracker state (FeatureTracker fields as a pytree)."""
+
+    uv: jax.Array          # [F, 2]
+    alive: jax.Array       # [F]
+    prev_norm: jax.Array   # [F, 2]
+    prev_pyr: tuple        # tuple of [H/2^l, W/2^l]
+    prev_t: jax.Array      # []
+    frame_idx: jax.Array   # [] int32 (RANSAC key)
+
+
+class FusedCarry(NamedTuple):
+    tracker: TrackerCarry
+    state: WindowState
+    fw: fwin.FeatureWindow
+    rho_init: jax.Array      # [F]
+    acc: jax.Array           # [W-1, M+1, 3]
+    gyr: jax.Array           # [W-1, M+1, 3]
+    wvel: jax.Array          # [W-1, M+1, 3]
+    dt: jax.Array            # [W-1, M]
+    smask: jax.Array         # [W-1, M]
+    imu_valid: jax.Array     # [W-1]
+    wheel_valid: jax.Array   # [W-1]
+    prior: MargPrior
+    prior_state: WindowState
+    times: jax.Array         # [W]
+
+
+class TickRecord(NamedTuple):
+    """Per-tick scalars, unpacked on the host from ONE packed [16] f32
+    vector (a remote-TPU tunnel round trip costs ~25 ms — ten separate
+    scalar readbacks would dominate the tick)."""
+
+    p: np.ndarray
+    q: np.ndarray
+    v: np.ndarray
+    cost: float
+    is_kf: bool
+    stationary: bool
+    anomaly: bool
+    tracked: int
+    n_alive: int
+    parallax: float
+
+    @staticmethod
+    def unpack(vec: np.ndarray) -> "TickRecord":
+        return TickRecord(
+            p=vec[0:3], q=vec[3:7], v=vec[7:10], cost=float(vec[10]),
+            is_kf=bool(vec[11] > 0.5), stationary=bool(vec[12] > 0.5),
+            anomaly=bool(vec[13] > 0.5), tracked=int(vec[14]),
+            n_alive=int(vec[15]), parallax=float(vec[16]))
+
+
+class FusedStatics(NamedTuple):
+    """Hashable static config for the jitted tick (subset of
+    EstimatorConfig + TrackerConfig the device code needs)."""
+
+    # tracker
+    levels: int
+    half_patch: int
+    klt_iters: int
+    fb_thresh: float
+    cell: int
+    min_response: float
+    depth_lo: float
+    depth_hi: float
+    equalize: bool
+    use_ransac: bool
+    f_thresh_px: float
+    focal: float
+    # estimator
+    vio: tuple              # VioConfig (NamedTuple, hashable)
+    use_wheel: bool
+    wheel_anomaly_thresh: float
+    stationary_dp: float
+    stationary_parallax: float
+    stationary_imu_var: float
+    min_parallax: float
+    min_tracked: int
+    outlier_px: float
+    g_norm: float
+    depth_stride: int = 1   # depth image decimation (transfer saving)
+
+
+def _tracker_step(tc: TrackerCarry, img, depth_img, dyn_mask, t, cam,
+                  s: FusedStatics):
+    """One tracker frame (the pure-function form of FeatureTracker.track;
+    reference ``feature_tracker.cpp:103-372``)."""
+    F = tc.uv.shape[0]
+    if s.equalize:
+        img = clahe(img)
+    pyr = tuple(klt.build_pyramid(img, s.levels))
+
+    pts1, tracked = klt.klt_track(tc.prev_pyr, pyr, tc.uv, tc.alive,
+                                  s.half_patch, s.klt_iters, s.fb_thresh)
+    alive = tc.alive * tracked
+    if s.use_ransac:
+        ray1 = cam.lift(pts1)
+        norm1 = ray1[:, :2] / jnp.maximum(ray1[:, 2:3], 1e-6)
+        key = jax.random.PRNGKey(tc.frame_idx)
+        alive = ransac_f_reject(tc.prev_norm, norm1, alive, key,
+                                thresh=s.f_thresh_px / s.focal)
+    inside = klt._bilinear(dyn_mask.astype(jnp.float32), pts1) > 0.5
+    alive = alive * (1.0 - inside.astype(jnp.float32))
+
+    resp = klt.shi_tomasi(pyr[0])
+    resp = jnp.where(dyn_mask > 0.5, -1.0, resp)
+    cand_uv, _, cand_ok = klt.detect_grid(
+        resp, pts1, s.cell, F, occupied_mask=alive,
+        min_response=s.min_response)
+
+    free_order = jnp.argsort(alive, stable=True)        # dead slots first
+    n_free_arr = jnp.sum(alive <= 0).astype(jnp.int32)
+    take = (jnp.arange(F) < n_free_arr) & (cand_ok > 0)
+    uv = pts1.at[free_order].set(
+        jnp.where(take[:, None], cand_uv, pts1[free_order]))
+    fresh = jnp.zeros((F,), jnp.float32).at[free_order].set(
+        take.astype(jnp.float32))
+    alive = jnp.maximum(alive, fresh)
+
+    ray = cam.lift(uv)
+    norm = ray[:, :2] / jnp.maximum(ray[:, 2:3], 1e-6)
+    dt = t - tc.prev_t
+    vel = jnp.where(dt > 1e-6, (norm - tc.prev_norm) / jnp.maximum(dt, 1e-6),
+                    0.0)
+    vel = vel * (alive * (1.0 - fresh))[:, None]
+
+    d = klt._bilinear(depth_img, uv * (1.0 / s.depth_stride))
+    d_ok = (d > s.depth_lo) & (d < s.depth_hi)
+    depth = jnp.where(d_ok, d, 0.0) * alive
+
+    obs = fwin.FrameObs(ray=norm, vel=vel, depth=depth, alive=alive,
+                        fresh=fresh)
+    tc_new = TrackerCarry(uv=uv, alive=alive, prev_norm=norm, prev_pyr=pyr,
+                          prev_t=jnp.asarray(t, jnp.float32),
+                          frame_idx=tc.frame_idx + 1)
+    return tc_new, obs
+
+
+def _detectors(c: FusedCarry, pre, wpre, k, s: FusedStatics):
+    """Device-side degradation detector suite (reference
+    ``estimator.cpp:681-705, 2190-2335``): returns traced
+    (anomaly, stationary). ``k`` = latest interval index (traced)."""
+    dp_imu = pre.dp[k]
+    dp_whl = wpre.dp[k]
+    anomaly = (jnp.linalg.norm(dp_whl - dp_imu) > s.wheel_anomaly_thresh) \
+        & (c.imu_valid[k] > 0) if s.use_wheel else jnp.asarray(False)
+    wheel_static = jnp.linalg.norm(dp_whl) < s.stationary_dp \
+        if s.use_wheel else jnp.asarray(True)
+    imu_static = jnp.linalg.norm(dp_imu) < 5 * s.stationary_dp
+    # IMU-excitation variance over the latest interval's raw accel samples
+    m = c.smask[k]
+    wv = jnp.concatenate([jnp.ones((1,), m.dtype), m])        # endpoint incl.
+    nsamp = jnp.sum(m)
+    mean = jnp.sum(c.acc[k] * wv[:, None], 0) / jnp.maximum(jnp.sum(wv), 1.0)
+    var = jnp.sum(((c.acc[k] - mean) ** 2) * wv[:, None], 0) \
+        / jnp.maximum(jnp.sum(wv), 1.0)
+    acc_var = jnp.linalg.norm(var)
+    imu_excited = (acc_var > s.stationary_imu_var) | (nsamp < 5)
+    _, par, n_co = fwin.parallax_keyframe_test(c.fw, 1e9)
+    visual_static = (par < s.stationary_parallax) & (n_co > 10)
+    stationary = visual_static & wheel_static & imu_static & ~imu_excited
+    return anomaly, stationary
+
+
+def _merge_last_two(acc, gyr, wvel, dt, sm):
+    """Device form of _IntervalBuffers.merge_last_two (SECOND_NEW slide):
+    concatenate the last two masked intervals into slot [-2], dropping the
+    oldest samples on overflow."""
+    M = dt.shape[1]
+    n0 = jnp.sum(sm[-2]).astype(jnp.int32)
+    n1 = jnp.sum(sm[-1]).astype(jnp.int32)
+    total = n0 + n1
+    ofs = jnp.maximum(total - M, 0)
+
+    j = jnp.arange(M + 1)
+    k = j + ofs
+    from0 = k <= n0
+    i0 = jnp.clip(k, 0, M)
+    i1 = jnp.clip(k - n0, 0, M)
+
+    def samp(b):
+        merged = jnp.where(from0[:, None], b[-2][i0], b[-1][i1])
+        return b.at[-2].set(merged).at[-1].set(0.0)
+
+    jd = jnp.arange(M)
+    kd = jd + ofs
+    fromd0 = kd < n0
+    id0 = jnp.clip(kd, 0, M - 1)
+    id1 = jnp.clip(kd - n0, 0, M - 1)
+    dt_m = jnp.where(fromd0, dt[-2][id0], dt[-1][id1])
+    m_m = (kd < total).astype(sm.dtype)
+    dt_new = dt.at[-2].set(dt_m * m_m).at[-1].set(0.0)
+    sm_new = sm.at[-2].set(m_m).at[-1].set(0.0)
+    return samp(acc), samp(gyr), samp(wvel), dt_new, sm_new
+
+
+def _solve_tick(c: FusedCarry, obs: fwin.FrameObs,
+                acc_in, gyr_in, wvel_in, dt_in, smask_in,
+                t, col, full,
+                layout: WindowLayout, s: FusedStatics,
+                imu_noise, wheel_noise):
+    """The estimator part of the fused tick (initialized path of
+    VioEstimator.process_frame, all decisions traced)."""
+    vio_cfg = s.vio
+    W = layout.W
+    k = col - 1
+
+    # 1. write the interval buffers at k (traced index)
+    def wr(buf, val):
+        return jax.lax.dynamic_update_slice(
+            buf, val[None].astype(buf.dtype), (k,) + (0,) * val.ndim)
+    c = c._replace(
+        acc=wr(c.acc, acc_in), gyr=wr(c.gyr, gyr_in), wvel=wr(c.wvel, wvel_in),
+        dt=wr(c.dt, dt_in), smask=wr(c.smask, smask_in),
+        imu_valid=c.imu_valid.at[k].set(1.0),
+        wheel_valid=c.wheel_valid.at[k].set(1.0 if s.use_wheel else 0.0),
+        times=c.times.at[col].set(jnp.asarray(t, jnp.float32)))
+
+    # 2. add the frame's observations
+    fw, rho = fwin.add_frame(c.fw, obs, col, c.state.rho)
+    state = c.state._replace(rho=rho)
+    rho_init = jnp.where((obs.fresh > 0) & (obs.alive > 0),
+                         fw.depth_fixed, c.rho_init)
+    c = c._replace(fw=fw, state=state, rho_init=rho_init)
+
+    # 3. predict the new frame by IMU propagation from col-1
+    g_world = jnp.asarray([0.0, 0.0, -s.g_norm], jnp.float32)
+    p_pred, q_pred, v_pred = propagate_state(
+        state.p[k], state.q[k], state.v[k], state.ba[k], state.bg[k],
+        g_world, c.acc[k], c.gyr[k], c.dt[k], mask=c.smask[k])
+    state = state._replace(
+        p=state.p.at[col].set(p_pred), q=state.q.at[col].set(q_pred),
+        v=state.v.at[col].set(v_pred),
+        ba=state.ba.at[col].set(state.ba[k]),
+        bg=state.bg.at[col].set(state.bg[k]))
+    c = c._replace(state=state)
+
+    # 4. re-preintegrate every interval at current biases
+    pre, wpre, sinfo, wsinfo = _preintegrate_all(
+        c.acc, c.gyr, c.wvel, c.dt, c.smask,
+        state.ba[:-1], state.bg[:-1], state.six, state.siy, state.siw,
+        imu_noise, wheel_noise)
+
+    # 5. detectors (traced)
+    anomaly, stationary = _detectors(c, pre, wpre, k, s)
+    wheel_valid = c.wheel_valid.at[k].mul(
+        jnp.where(anomaly, 0.0, 1.0))
+    c = c._replace(wheel_valid=wheel_valid)
+
+    # 6. triangulate uninitialized landmarks
+    rho_new, done = fwin.triangulate(c.fw, state, state.rho,
+                                     1.0 - c.rho_init)
+    state = state._replace(rho=rho_new)
+    rho_init = jnp.maximum(c.rho_init, done.astype(jnp.float32))
+    c = c._replace(state=state, rho_init=rho_init)
+
+    # 7. window solve
+    frame_dt = jnp.maximum(c.times[1:] - c.times[:-1], 1e-3)
+    meas = VioMeasurements(
+        feats=fwin.to_factor_table(c.fw),
+        imu=pre, imu_valid=c.imu_valid, imu_sqrt_info=sinfo,
+        wheel=wpre, wheel_valid=c.wheel_valid, wheel_sqrt_info=wsinfo,
+        plane_valid=jnp.asarray(1.0 if vio_cfg.use_plane else 0.0),
+        stationary=stationary.astype(jnp.float32),
+        gnss=GnssTable.empty(W), gnss_enabled=jnp.zeros(()),
+        prior=c.prior, prior_state=c.prior_state,
+        frame_dt=frame_dt)
+    out = solve_window(state, meas, layout, vio_cfg)
+    state = out.state
+    c = c._replace(state=state)
+
+    # 8. landmark outlier gate at the solved state
+    if s.outlier_px > 0:
+        keep = fwin.outlier_mask(c.fw, state, s.outlier_px, s.focal)
+        c = c._replace(fw=c.fw._replace(
+            track_valid=c.fw.track_valid * keep))
+
+    # 9. keyframe decision
+    is_kf_j, par, _ = fwin.parallax_keyframe_test(
+        c.fw, s.min_parallax, s.min_tracked)
+    is_kf = is_kf_j & ~stationary
+
+    # 10. slide (lax.switch over {none, MARGIN_OLD, MARGIN_SECOND_NEW})
+    def _slide_pack(cc: FusedCarry):
+        return (cc.prior, cc.prior_state, cc.fw, cc.state, cc.rho_init,
+                cc.acc, cc.gyr, cc.wvel, cc.dt, cc.smask,
+                cc.imu_valid, cc.wheel_valid, cc.times)
+
+    def no_slide(cc):
+        return _slide_pack(cc)
+
+    def margin_old(cc):
+        prior = marginalize_oldest(cc.state, meas, layout, vio_cfg)
+        fw2, rho2 = fwin.slide_oldest(cc.fw, cc.state, cc.state.rho)
+        st2 = _shift_state_left(cc.state._replace(rho=rho2))
+
+        def roll(b):
+            return jnp.concatenate([b[1:], jnp.zeros_like(b[:1])])
+        times2 = jnp.concatenate([cc.times[1:], cc.times[-1:]])
+        return (prior, st2, fw2, st2, cc.rho_init,
+                roll(cc.acc), roll(cc.gyr), roll(cc.wvel),
+                roll(cc.dt), roll(cc.smask),
+                roll(cc.imu_valid), roll(cc.wheel_valid), times2)
+
+    def second_new(cc):
+        prior = marginalize_second_newest(cc.prior, layout)
+        fw2, rho2 = fwin.slide_second_newest(cc.fw, cc.state, cc.state.rho)
+        st2 = _drop_second_newest(cc.state._replace(rho=rho2))
+        acc2, gyr2, wvl2, dt2, sm2 = _merge_last_two(
+            cc.acc, cc.gyr, cc.wvel, cc.dt, cc.smask)
+        iv2 = cc.imu_valid.at[-2].set(
+            jnp.maximum(cc.imu_valid[-2], cc.imu_valid[-1])).at[-1].set(0.0)
+        wv2 = cc.wheel_valid.at[-2].set(
+            jnp.minimum(cc.wheel_valid[-2], cc.wheel_valid[-1])).at[-1].set(0.0)
+        times2 = cc.times.at[W - 2].set(cc.times[W - 1])
+        return (prior, st2, fw2, st2, cc.rho_init,
+                acc2, gyr2, wvl2, dt2, sm2, iv2, wv2, times2)
+
+    idx = jnp.where(~full, 0, jnp.where(is_kf, 1, 2))
+    (prior, prior_state, fw, state, rho_init, acc, gyr, wvel, dt, smask,
+     imu_valid, wheel_valid, times) = jax.lax.switch(
+        idx, [no_slide, margin_old, second_new], c)
+    c = c._replace(prior=prior, prior_state=prior_state, fw=fw, state=state,
+                   rho_init=rho_init, acc=acc, gyr=gyr, wvel=wvel, dt=dt,
+                   smask=smask, imu_valid=imu_valid, wheel_valid=wheel_valid,
+                   times=times)
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    rec = jnp.concatenate([
+        c.state.p[col], c.state.q[col], c.state.v[col],
+        jnp.stack([f32(out.cost), f32(is_kf), f32(stationary), f32(anomaly),
+                   jnp.sum(c.fw.track_valid), jnp.sum(obs.alive), f32(par)]),
+    ])
+    return c, rec
+
+
+def _frame_layout(h, w, hd, wd):
+    """Byte offsets of the packed per-tick frame buffer."""
+    M = MAX_IMU_PER_INTERVAL
+    n_img = h * w                      # uint8 gray
+    n_depth = hd * wd * 2              # float16 depth (decimated)
+    n_misc = (3 * (M + 1) * 3 + 2 * M + 3) * 4   # f32 imu + t/col/full
+    return n_img, n_depth, n_misc
+
+
+def pack_frame(img_u8, depth_f16, accp, gyrp, wvlp, dtp, smp, t, col, full):
+    """Host-side: serialize one camera tick's inputs into ONE uint8 buffer.
+
+    A remote-TPU tunnel charges ~25 ms latency PER transferred array; the
+    naive 10-array tick spends ~200 ms on latency alone. One buffer pays it
+    once."""
+    misc = np.concatenate([
+        accp.reshape(-1), gyrp.reshape(-1), wvlp.reshape(-1),
+        dtp, smp,
+        np.asarray([t, float(col), 1.0 if full else 0.0], np.float32),
+    ]).astype(np.float32)
+    return np.concatenate([
+        img_u8.reshape(-1),
+        depth_f16.reshape(-1).view(np.uint8),
+        misc.view(np.uint8),
+    ])
+
+
+@partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6))
+def _camera_tick(layout, s: FusedStatics, carry: FusedCarry,
+                 h, w, hd, wd, buf, dyn_mask, cam, imu_noise, wheel_noise):
+    """Tracker + estimator: the whole camera tick, one compiled program.
+
+    ``buf`` is the single packed frame buffer from :func:`pack_frame`
+    (uint8 image + f16 decimated depth + f32 IMU/meta) — unpacked on device
+    by slicing + bitcast. ONE host→device transfer per tick."""
+    M = MAX_IMU_PER_INTERVAL
+    n_img, n_depth, n_misc = _frame_layout(h, w, hd, wd)
+    img = buf[:n_img].reshape(h, w).astype(jnp.float32) * (1.0 / 255.0)
+    depth = jax.lax.bitcast_convert_type(
+        buf[n_img:n_img + n_depth].reshape(hd, wd, 2),
+        jnp.float16).astype(jnp.float32)
+    misc = jax.lax.bitcast_convert_type(
+        buf[n_img + n_depth:].reshape(-1, 4), jnp.float32)
+    o = 0
+    acc_in = misc[o:o + (M + 1) * 3].reshape(M + 1, 3); o += (M + 1) * 3
+    gyr_in = misc[o:o + (M + 1) * 3].reshape(M + 1, 3); o += (M + 1) * 3
+    wvel_in = misc[o:o + (M + 1) * 3].reshape(M + 1, 3); o += (M + 1) * 3
+    dt_in = misc[o:o + M]; o += M
+    smask_in = misc[o:o + M]; o += M
+    t = misc[o]
+    col = misc[o + 1].astype(jnp.int32)
+    full = misc[o + 2] > 0.5
+
+    tc, obs = _tracker_step(carry.tracker, img, depth, dyn_mask, t, cam, s)
+    carry = carry._replace(tracker=tc)
+    carry, rec = _solve_tick(carry, obs, acc_in, gyr_in, wvel_in, dt_in,
+                             smask_in, t, col, full, layout, s,
+                             imu_noise, wheel_noise)
+    return carry, rec
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _obs_tick(layout, s: FusedStatics, carry: FusedCarry,
+              obs: fwin.FrameObs, acc_in, gyr_in, wvel_in, dt_in, smask_in,
+              t, col, full, imu_noise, wheel_noise):
+    """Estimator-only fused tick (pre-tracked observations) — used by the
+    equivalence tests against VioEstimator."""
+    return _solve_tick(carry, obs, acc_in, gyr_in, wvel_in, dt_in, smask_in,
+                       t, col, full, layout, s, imu_noise, wheel_noise)
+
+
+class FusedVio:
+    """Streaming VIO with the fused device tick.
+
+    Warm-up + initialization delegate to :class:`VioEstimator` (identical
+    behavior); once initialized, the full state moves into a device carry and
+    each frame is ONE dispatch + ONE record readback. Visual-failure reboot
+    (reference ``estimator.cpp:1193-1201``) re-seeds from the carry and
+    re-enters the fused path with a refilling window.
+    """
+
+    def __init__(self, cfg: EstimatorConfig, tracker_cfg, cam,
+                 tic=None, ric=None, depth_stride: int = 1,
+                 pipelined: bool = False):
+        """``depth_stride``: upload the depth image decimated by this factor
+        (f16) — RGB-D depth tolerates it, the tunnel doesn't tolerate full
+        f32 frames. ``pipelined``: overlap the record readback with the next
+        tick's dispatch (outputs lag one frame; call :meth:`flush` at end)."""
+        assert not cfg.use_gnss, "GNSS path uses VioEstimator (host-rate)"
+        from ..frontend.tracker import FeatureTracker
+        self.cfg = cfg
+        self.tcfg = tracker_cfg
+        self.cam = cam
+        self._tic, self._ric = tic, ric
+        self.depth_stride = depth_stride
+        self.pipelined = pipelined
+        self._inflight = None      # (t, rec_device) awaiting readback
+        self.legacy = VioEstimator(cfg, tic=tic, ric=ric)
+        self.tracker = FeatureTracker(tracker_cfg, cam)
+        self.layout = self.legacy.layout
+        self.statics = FusedStatics(
+            levels=tracker_cfg.levels, half_patch=tracker_cfg.half_patch,
+            klt_iters=tracker_cfg.iters, fb_thresh=tracker_cfg.fb_thresh,
+            cell=tracker_cfg.cell, min_response=tracker_cfg.min_response,
+            depth_lo=tracker_cfg.depth_range[0],
+            depth_hi=tracker_cfg.depth_range[1],
+            equalize=tracker_cfg.equalize, use_ransac=tracker_cfg.use_ransac,
+            f_thresh_px=tracker_cfg.f_thresh_px, focal=tracker_cfg.focal,
+            vio=cfg.vio, use_wheel=cfg.use_wheel,
+            wheel_anomaly_thresh=cfg.wheel_anomaly_thresh,
+            stationary_dp=cfg.stationary_dp,
+            stationary_parallax=cfg.stationary_parallax,
+            stationary_imu_var=cfg.stationary_imu_var,
+            min_parallax=cfg.min_parallax, min_tracked=cfg.min_tracked,
+            outlier_px=cfg.outlier_px, g_norm=cfg.g_norm,
+            depth_stride=depth_stride)
+        self.carry: FusedCarry | None = None
+        self.frame_count = 0
+        self.dispatch_count = 0      # fused device dispatches (for tests)
+        self._zero_mask = None
+        # noise params as device scalars ONCE — python floats as jit args
+        # would transfer (and pay tunnel latency) every tick
+        self._imu_noise_dev = jax.tree.map(
+            lambda v: jnp.asarray(v, jnp.float32), cfg.imu_noise)
+        self._wheel_noise_dev = jax.tree.map(
+            lambda v: jnp.asarray(v, jnp.float32), cfg.wheel_noise)
+
+    # ------------------------------------------------------------------
+    def _pad_imu(self, imu, wheel_vel):
+        M = MAX_IMU_PER_INTERVAL
+        acc, gyr, dts = imu
+        if wheel_vel is None:
+            wheel_vel = np.zeros_like(acc)
+        n = min(len(dts), M)
+        accp = np.zeros((M + 1, 3), np.float32)
+        gyrp = np.zeros((M + 1, 3), np.float32)
+        wvlp = np.zeros((M + 1, 3), np.float32)
+        dtp = np.zeros((M,), np.float32)
+        smp = np.zeros((M,), np.float32)
+        accp[: n + 1] = acc[: n + 1]
+        gyrp[: n + 1] = gyr[: n + 1]
+        wvlp[: n + 1] = wheel_vel[: n + 1]
+        accp[n + 1:] = acc[n]
+        gyrp[n + 1:] = gyr[n]
+        wvlp[n + 1:] = wheel_vel[n]
+        dtp[:n] = dts[:n]
+        smp[:n] = 1.0
+        return accp, gyrp, wvlp, dtp, smp
+
+    def _build_carry(self) -> FusedCarry:
+        """Move the legacy estimator + tracker state onto the device."""
+        lg = self.legacy
+        tr = self.tracker
+        W = NUM_FRAMES
+        times = np.zeros((W,), np.float32)
+        n = len(lg.times)
+        times[:n] = lg.times
+        if n:
+            times[n:] = lg.times[-1]
+        # placeholder pyramid when the tracker never ran (process_obs path)
+        pyr = (tuple(tr.prev_pyr) if tr.prev_pyr is not None
+               else tuple(jnp.zeros((1, 1), jnp.float32)
+                          for _ in range(self.tcfg.levels)))
+        tc = TrackerCarry(
+            uv=tr.uv, alive=tr.alive, prev_norm=tr.prev_norm,
+            prev_pyr=pyr,
+            prev_t=jnp.asarray(tr.prev_t or 0.0, jnp.float32),
+            frame_idx=jnp.asarray(tr._frame_idx, jnp.int32))
+        return FusedCarry(
+            tracker=tc, state=lg.state, fw=lg.fw, rho_init=lg.rho_init,
+            acc=jnp.asarray(lg.bufs.acc), gyr=jnp.asarray(lg.bufs.gyr),
+            wvel=jnp.asarray(lg.bufs.wvel), dt=jnp.asarray(lg.bufs.dt),
+            smask=jnp.asarray(lg.bufs.mask),
+            imu_valid=jnp.asarray(lg.imu_valid),
+            wheel_valid=jnp.asarray(lg.wheel_valid),
+            prior=lg.prior, prior_state=lg.prior_state,
+            times=jnp.asarray(times))
+
+    def _reboot(self, t):
+        """Visual-failure reboot: restart the window from the latest carry
+        pose (reference clearState semantics, trajectory-continuous)."""
+        col = min(self.frame_count, NUM_FRAMES) - 1
+        st = jax.tree.map(np.asarray, self.carry.state)
+        self.legacy = VioEstimator(self.cfg, tic=self._tic, ric=self._ric)
+        keep = lambda a: np.tile(a[col][None],
+                                 (NUM_FRAMES,) + (1,) * (a.ndim - 1))
+        self.legacy.state = self.legacy.state._replace(
+            p=jnp.asarray(keep(st.p)), q=jnp.asarray(keep(st.q)),
+            v=jnp.asarray(keep(st.v)), ba=jnp.asarray(keep(st.ba)),
+            bg=jnp.asarray(keep(st.bg)),
+            tic=jnp.asarray(st.tic), qic=jnp.asarray(st.qic))
+        self.legacy.prior_state = self.legacy.state
+        self.legacy.initialized = True
+        # tracker keeps running; sync its host mirror from the carry
+        tc = self.carry.tracker
+        self.tracker.uv = tc.uv
+        self.tracker.alive = tc.alive
+        self.tracker.prev_norm = tc.prev_norm
+        self.tracker.prev_pyr = list(tc.prev_pyr)
+        self.tracker.prev_t = float(tc.prev_t)
+        self.tracker._frame_idx = int(tc.frame_idx)
+        self.carry = None
+        self.frame_count = 0
+
+    def _make_output(self, t, rec_dev) -> VioOutput:
+        rec = TickRecord.unpack(np.asarray(rec_dev))   # ONE readback
+        out = VioOutput(
+            t=t, p=rec.p, q=rec.q, v=rec.v, initialized=True,
+            is_keyframe=rec.is_kf, stationary=rec.stationary,
+            wheel_anomaly=rec.anomaly, tracked=rec.tracked,
+            cost=rec.cost, rebooted=False)
+        if (self.cfg.allow_reboot
+                and rec.n_alive < self.cfg.min_tracked_reboot
+                and self.carry is not None):
+            self._reboot(t)
+            return out._replace(rebooted=True)
+        return out
+
+    def _emit(self, t, rec_dev) -> VioOutput | None:
+        """Synchronous: unpack now. Pipelined: return the PREVIOUS tick's
+        output (its readback overlaps this tick's device work)."""
+        if not self.pipelined:
+            return self._make_output(t, rec_dev)
+        prev, self._inflight = self._inflight, (t, rec_dev)
+        if prev is None:
+            return None
+        return self._make_output(prev[0], prev[1])
+
+    def flush(self) -> VioOutput | None:
+        """Drain the pipelined in-flight record (call at sequence end)."""
+        if self._inflight is None:
+            return None
+        t, rec_dev = self._inflight
+        self._inflight = None
+        return self._make_output(t, rec_dev)
+
+    # ------------------------------------------------------------------
+    def process_image(self, t: float, img, depth, imu,
+                      wheel_vel=None, dyn_mask=None) -> VioOutput | None:
+        """One camera tick from raw image + depth + IMU chunk.
+
+        ``img``: [H, W] uint8 or float in [0, 1]; ``depth``: [H, W] metres.
+        Transfers per tick: image (uint8) + decimated depth (f16) + IMU
+        chunk in, one packed record out."""
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+        else:
+            img_u8 = img
+        if self.carry is None:
+            img_f = jnp.asarray(img_u8, jnp.float32) * (1.0 / 255.0)
+            obs = self.tracker.track(t, img_f,
+                                     jnp.asarray(depth, jnp.float32)
+                                     if depth is not None else None,
+                                     dyn_mask=dyn_mask)
+            out = self.legacy.process_frame(t, obs, imu, wheel_vel=wheel_vel)
+            self.frame_count = self.legacy.frame_count
+            if self.legacy.initialized:
+                self.carry = self._build_carry()
+            return out
+
+        s = self.depth_stride
+        depth_lo = np.ascontiguousarray(
+            np.asarray(depth, np.float16)[::s, ::s])
+        accp, gyrp, wvlp, dtp, smp = self._pad_imu(imu, wheel_vel)
+        col = min(self.frame_count, NUM_FRAMES - 1)
+        full = self.frame_count >= NUM_FRAMES
+        if dyn_mask is None:
+            if self._zero_mask is None or self._zero_mask.shape != img.shape:
+                self._zero_mask = jnp.zeros(img.shape, jnp.float32)
+            dyn_mask = self._zero_mask
+        h, w = img_u8.shape
+        hd, wd = depth_lo.shape
+        buf = pack_frame(img_u8, depth_lo, accp, gyrp, wvlp, dtp, smp,
+                         t, col, full)
+        self.carry, rec = _camera_tick(
+            self.layout, self.statics, self.carry, h, w, hd, wd,
+            buf, dyn_mask,
+            self.cam, self._imu_noise_dev, self._wheel_noise_dev)
+        self.dispatch_count += 1
+        if self.frame_count < NUM_FRAMES:
+            self.frame_count += 1
+        return self._emit(t, rec)
+
+    # ------------------------------------------------------------------
+    def process_obs(self, t: float, obs: fwin.FrameObs, imu,
+                    wheel_vel=None) -> VioOutput | None:
+        """Fused tick from pre-tracked observations (test/equivalence path).
+        Uses the same device step minus the tracker."""
+        if self.carry is None:
+            out = self.legacy.process_frame(t, obs, imu, wheel_vel=wheel_vel)
+            self.frame_count = self.legacy.frame_count
+            if self.legacy.initialized:
+                self.carry = self._build_carry()
+            return out
+        accp, gyrp, wvlp, dtp, smp = self._pad_imu(imu, wheel_vel)
+        col = min(self.frame_count, NUM_FRAMES - 1)
+        full = self.frame_count >= NUM_FRAMES
+        self.carry, rec = _obs_tick(
+            self.layout, self.statics, self.carry, obs,
+            accp, gyrp, wvlp, dtp, smp,
+            np.float32(t), np.int32(col), np.bool_(full),
+            self._imu_noise_dev, self._wheel_noise_dev)
+        self.dispatch_count += 1
+        if self.frame_count < NUM_FRAMES:
+            self.frame_count += 1
+        return self._emit(t, rec)

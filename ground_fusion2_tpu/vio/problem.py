@@ -250,3 +250,51 @@ def _keep_to_frame_positions(layout: WindowLayout) -> np.ndarray:
     position inside the frame-dim block [0, frame_dim)."""
     shifted = layout.shift_map_after_marg_old()
     return shifted  # already expressed as absolute positions < frame_dim
+
+
+def marginalize_second_newest(prior: MargPrior, layout: WindowLayout
+                              ) -> MargPrior:
+    """SECOND_NEW slide: drop frame W-2's dims from the existing prior only
+    (the reference marginalizes just the prior's dependence for
+    MARGIN_SECOND_NEW, ``estimator.cpp:3394-3697``). Pure function of the
+    prior — jit-safe, all index maps static."""
+    dx0 = jnp.zeros((layout.frame_dim,), jnp.float32)
+
+    def res_fn(delta):
+        rr = prior.sqrt_J @ delta[: layout.frame_dim] + prior.r0
+        return rr, jnp.broadcast_to(prior.valid, rr.shape)
+
+    H, g, _ = normal_equations(res_fn, dx0)
+    W_ = layout.W
+    sec = W_ - 2
+    drop = np.concatenate([
+        np.arange(layout.pose_off + sec * 6, layout.pose_off + (sec + 1) * 6),
+        np.arange(layout.sb_off + sec * 9, layout.sb_off + (sec + 1) * 9),
+        np.arange(layout.gdt_off + sec * 4, layout.gdt_off + (sec + 1) * 4),
+        np.arange(layout.gddt_off + sec, layout.gddt_off + sec + 1),
+    ])
+    keep = np.setdiff1d(np.arange(layout.frame_dim), drop)
+    out_prior = marginalize(H, g, keep, drop)
+    # kept dims map: frames < W-2 stay; frame W-1 -> W-2 slot. The same
+    # shift applies to per-frame GNSS clock dims (gdt/gddt); shared dims
+    # (extrinsics/td/wheel/cam2/yaw/anchor) map identically.
+
+    def frame_block(off, width):
+        segs = []
+        for k in range(W_):
+            if k == sec:
+                continue
+            tgt = k if k < sec else k - 1
+            segs.append(np.arange(off + tgt * width,
+                                  off + (tgt + 1) * width))
+        return segs
+
+    out = []
+    out += frame_block(layout.pose_off, 6)
+    out += frame_block(layout.sb_off, 9)
+    out.append(np.arange(layout.cam_off, layout.gdt_off))
+    out += frame_block(layout.gdt_off, 4)
+    out += frame_block(layout.gddt_off, 1)
+    out.append(np.arange(layout.gyaw_off, layout.frame_dim))
+    old_to_new = np.concatenate(out)
+    return shift_prior(out_prior, old_to_new, layout.frame_dim)

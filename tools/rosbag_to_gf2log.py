@@ -5,7 +5,11 @@ Replaces the reference's live ``rosbag play`` replay path: run once offline,
 then feed the log through ``ground_fusion2_tpu.data.dataset.read_log``.
 
 Requires the ``rosbags`` (pure-python) or ``rosbag`` package — neither ships
-in this image, so this tool runs on the machine that holds the bags.
+in this image, so this tool runs on the machine that holds the bags. The
+per-message handlers below are module-level pure functions so they are
+testable with hand-crafted raw byte buffers without ROS
+(tests/test_converter_fixtures.py; reference decode logic:
+``lio/src/preprocess/cloud_convert/cloud_convert.cc:19-329``).
 
 Usage:
   python tools/rosbag_to_gf2log.py seq.bag seq.gf2log \
@@ -16,8 +20,94 @@ Usage:
 
 import argparse
 import sys
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+PC2_DTYPES = {1: "i1", 2: "u1", 3: "i2", 4: "u2", 5: "i4", 6: "u4",
+              7: "f4", 8: "f8"}
+
+
+def pc2_structured(msg):
+    """sensor_msgs/PointCloud2 -> numpy structured array via the field
+    table (datatype/offset/point_step), zero-copy over ``msg.data``."""
+    names, formats, offsets = [], [], []
+    for f in msg.fields:
+        names.append(f.name)
+        formats.append(PC2_DTYPES[f.datatype])
+        offsets.append(f.offset)
+    dt = np.dtype({"names": names, "formats": formats,
+                   "offsets": offsets, "itemsize": msg.point_step})
+    n = (msg.width * msg.height) or (len(msg.data) // msg.point_step)
+    return np.frombuffer(msg.data, dtype=dt, count=n)
+
+
+def livox_structured(msg):
+    """livox CustomMsg -> the structured layout CloudConvert expects."""
+    arr = np.zeros(len(msg.points), dtype=[
+        ("x", "f4"), ("y", "f4"), ("z", "f4"),
+        ("reflectivity", "u1"), ("offset_time", "u4"),
+        ("tag", "u1"), ("line", "u1")])
+    for k, p in enumerate(msg.points):
+        arr[k] = (p.x, p.y, p.z, p.reflectivity,
+                  p.offset_time, p.tag, p.line)
+    return arr
+
+
+def encode_imu(msg):
+    """sensor_msgs/Imu -> (rec_type, payload f32[6] acc+gyr)."""
+    from ground_fusion2_tpu.runtime import native_bindings as nb
+    payload = np.array([
+        msg.linear_acceleration.x, msg.linear_acceleration.y,
+        msg.linear_acceleration.z, msg.angular_velocity.x,
+        msg.angular_velocity.y, msg.angular_velocity.z], np.float32)
+    return nb.REC_IMU, payload
+
+
+def encode_wheel(msg):
+    """nav_msgs/Odometry -> (rec_type, payload f32[3] body velocity)."""
+    from ground_fusion2_tpu.runtime import native_bindings as nb
+    payload = np.array([
+        msg.twist.twist.linear.x, msg.twist.twist.linear.y,
+        msg.twist.twist.linear.z], np.float32)
+    return nb.REC_WHEEL, payload
+
+
+def encode_color(msg):
+    """CompressedImage -> (rec_type, payload u32[2] hdr + raw bytes)."""
+    from ground_fusion2_tpu.runtime import native_bindings as nb
+    data = np.frombuffer(msg.data, np.uint8)
+    hdr = np.array([0, len(data)], np.uint32).view(np.uint8)
+    return nb.REC_IMAGE, np.concatenate([hdr, data])
+
+
+def encode_depth(msg):
+    """sensor_msgs/Image (16UC1 mm) -> (rec_type, u32 h, u32 w, bytes)."""
+    from ground_fusion2_tpu.runtime import native_bindings as nb
+    data = np.frombuffer(msg.data, np.uint8)
+    hdr = np.array([msg.height, msg.width], np.uint32).view(np.uint8)
+    return nb.REC_DEPTH, np.concatenate([hdr, data])
+
+
+def encode_cloud(msg, cconv, t):
+    """LiDAR message -> (rec_type, t_end, payload u32 n + f32[n*4] xyzt).
+
+    Routes livox CustomMsg vs PointCloud2 into the per-vendor decoder
+    (``ground_fusion2_tpu.data.cloud_convert``, the reference's
+    ``cloud_convert.cc`` handlers)."""
+    from ground_fusion2_tpu.runtime import native_bindings as nb
+    if hasattr(msg, "points"):   # livox CustomMsg
+        arr = livox_structured(msg)
+    else:
+        arr = pc2_structured(msg)
+    xyz, alpha, _inten, t_end = cconv.process(arr, t)
+    pts = np.concatenate([xyz, alpha[:, None]], axis=1)
+    hdr = np.array([pts.shape[0]], np.uint32).view(np.uint8)
+    payload = np.concatenate(
+        [hdr, pts.astype(np.float32).reshape(-1).view(np.uint8)])
+    return nb.REC_CLOUD, t_end, payload
 
 
 def main():
@@ -38,11 +128,9 @@ def main():
 
     try:
         from rosbags.highlevel import AnyReader
-        from pathlib import Path
     except ImportError:
         sys.exit("install the pure-python 'rosbags' package to convert bags")
 
-    sys.path.insert(0, str(Path(__file__).parent.parent))
     from ground_fusion2_tpu.runtime import native_bindings as nb
     from ground_fusion2_tpu.data.cloud_convert import (
         CloudConvert, CloudConvertConfig, LidarType)
@@ -50,21 +138,6 @@ def main():
     cconv = CloudConvert(CloudConvertConfig(
         lidar_type=LidarType(args.lidar_type), blind=args.blind,
         point_filter_num=args.point_filter_num))
-
-    _PC2_DTYPES = {1: "i1", 2: "u1", 3: "i2", 4: "u2", 5: "i4", 6: "u4",
-                   7: "f4", 8: "f8"}
-
-    def pc2_structured(msg):
-        """PointCloud2 -> numpy structured array using the field table."""
-        names, formats, offsets = [], [], []
-        for f in msg.fields:
-            names.append(f.name)
-            formats.append(_PC2_DTYPES[f.datatype])
-            offsets.append(f.offset)
-        dt = np.dtype({"names": names, "formats": formats,
-                       "offsets": offsets, "itemsize": msg.point_step})
-        n = (msg.width * msg.height) or (len(msg.data) // msg.point_step)
-        return np.frombuffer(msg.data, dtype=dt, count=n)
 
     w = nb.LogWriter(args.out)
     with AnyReader([Path(args.bag)]) as reader:
@@ -75,44 +148,20 @@ def main():
             t = ts / 1e9
             msg = reader.deserialize(raw, conn.msgtype)
             if conn.topic == args.imu:
-                payload = np.array([
-                    msg.linear_acceleration.x, msg.linear_acceleration.y,
-                    msg.linear_acceleration.z, msg.angular_velocity.x,
-                    msg.angular_velocity.y, msg.angular_velocity.z],
-                    np.float32)
-                w.write(nb.REC_IMU, t, payload)
+                rec, payload = encode_imu(msg)
+                w.write(rec, t, payload)
             elif conn.topic == args.wheel:
-                payload = np.array([
-                    msg.twist.twist.linear.x, msg.twist.twist.linear.y,
-                    msg.twist.twist.linear.z], np.float32)
-                w.write(nb.REC_WHEEL, t, payload)
+                rec, payload = encode_wheel(msg)
+                w.write(rec, t, payload)
             elif conn.topic == args.color:
-                data = np.frombuffer(msg.data, np.uint8)
-                hdr = np.array([0, len(data)], np.uint32).view(np.uint8)
-                w.write(nb.REC_IMAGE, t, np.concatenate([hdr, data]))
+                rec, payload = encode_color(msg)
+                w.write(rec, t, payload)
             elif conn.topic == args.depth:
-                data = np.frombuffer(msg.data, np.uint8)
-                hdr = np.array([msg.height, msg.width], np.uint32).view(np.uint8)
-                w.write(nb.REC_DEPTH, t, np.concatenate([hdr, data]))
+                rec, payload = encode_depth(msg)
+                w.write(rec, t, payload)
             elif conn.topic == args.cloud:
-                # livox CustomMsg or PointCloud2 -> vendor decode
-                # (ground_fusion2_tpu.data.cloud_convert, the reference's
-                # cloud_convert.cc handlers)
-                if hasattr(msg, "points"):   # livox CustomMsg
-                    arr = np.zeros(len(msg.points), dtype=[
-                        ("x", "f4"), ("y", "f4"), ("z", "f4"),
-                        ("reflectivity", "u1"), ("offset_time", "u4"),
-                        ("tag", "u1"), ("line", "u1")])
-                    for k, p in enumerate(msg.points):
-                        arr[k] = (p.x, p.y, p.z, p.reflectivity,
-                                  p.offset_time, p.tag, p.line)
-                else:
-                    arr = pc2_structured(msg)
-                xyz, alpha, _inten, t_end = cconv.process(arr, t)
-                pts = np.concatenate([xyz, alpha[:, None]], axis=1)
-                hdr = np.array([pts.shape[0]], np.uint32).view(np.uint8)
-                w.write(nb.REC_CLOUD, t_end, np.concatenate(
-                    [hdr, pts.astype(np.float32).reshape(-1).view(np.uint8)]))
+                rec, t_end, payload = encode_cloud(msg, cconv, t)
+                w.write(rec, t_end, payload)
     w.close()
     print(f"wrote {args.out}")
 
