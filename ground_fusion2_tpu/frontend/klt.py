@@ -140,38 +140,94 @@ def _patch_coords(half: int, dtype=jnp.float32):
     return jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # [P, 2]
 
 
+MAX_DISP = 6      # per-level LK search radius beyond the incoming guess
+
+
+def _extract_windows(img, centers, win_half):
+    """Per-feature square windows as ONE-HOT MATMULS (MXU), not gathers.
+
+    TPU gathers are the anti-pattern: the original per-iteration bilinear
+    gathers made KLT ~170 ms/frame on a v5e. Selecting rows/columns with
+    one-hot selection matrices turns window extraction into two dense
+    matmuls the MXU eats for free.
+
+    centers: [F, 2] int (x, y). Returns (win [F, Wl, Wl], xs [F], ys [F])
+    with (xs, ys) the window origins (clipped inside the image)."""
+    H, W = img.shape
+    Wl = 2 * win_half + 1
+    ys = jnp.clip(centers[:, 1] - win_half, 0, H - Wl)
+    xs = jnp.clip(centers[:, 0] - win_half, 0, W - Wl)
+    rr = ys[:, None] + jnp.arange(Wl)[None, :]              # [F, Wl]
+    R = (rr[:, :, None] == jnp.arange(H)[None, None, :]).astype(img.dtype)
+    cc = xs[:, None] + jnp.arange(Wl)[None, :]
+    C = (cc[:, :, None] == jnp.arange(W)[None, None, :]).astype(img.dtype)
+    t = jnp.einsum("fyh,hw->fyw", R, img)                   # row select
+    win = jnp.einsum("fyw,fxw->fyx", t, C)                  # col select
+    return win, xs, ys
+
+
+def _sample_patch(win, off_x, off_y, half):
+    """Bilinear (2*half+1)^2 patch from each window at fractional offsets,
+    as two small dense matmuls (separable linear-interp matrices).
+
+    win: [F, Wl, Wl]; off_*: [F] patch-center position in window coords.
+    Positions outside the window clamp to its edge — the same semantics as
+    the image-border clip of the original ``_bilinear`` (for features whose
+    clipped window sits at the image border, the window edge IS the image
+    edge, so border tracks behave identically)."""
+    Wl = win.shape[-1]
+    r = jnp.arange(-half, half + 1, dtype=off_x.dtype)
+    py = jnp.clip(off_y[:, None] + r[None, :], 0.0, Wl - 1.001)  # [F, P]
+    Ay = jnp.maximum(0.0, 1.0 - jnp.abs(
+        py[:, :, None] - jnp.arange(Wl, dtype=off_x.dtype)[None, None, :]))
+    px = jnp.clip(off_x[:, None] + r[None, :], 0.0, Wl - 1.001)
+    Ax = jnp.maximum(0.0, 1.0 - jnp.abs(
+        px[:, :, None] - jnp.arange(Wl, dtype=off_x.dtype)[None, None, :]))
+    t = jnp.einsum("fpw,fwx->fpx", Ay, win)                 # interp rows
+    return jnp.einsum("fpx,fqx->fpq", t, Ax)                # interp cols
+
+
 def _track_level(img0, img1, pts0, guess, valid, half, iters, dtype):
-    """One pyramid level of inverse-compositional LK for all features."""
-    offs = _patch_coords(half, dtype)                 # [P, 2]
+    """One pyramid level of inverse-compositional LK for all features.
 
-    def per_feature(p0, g, v):
-        patch_xy = p0[None, :] + offs                 # [P, 2]
-        t = _bilinear(img0, patch_xy)                 # template
-        gx = _bilinear(img0, patch_xy + jnp.asarray([1.0, 0.0])) - \
-            _bilinear(img0, patch_xy - jnp.asarray([1.0, 0.0]))
-        gy = _bilinear(img0, patch_xy + jnp.asarray([0.0, 1.0])) - \
-            _bilinear(img0, patch_xy - jnp.asarray([0.0, 1.0]))
-        gx, gy = 0.5 * gx, 0.5 * gy
-        a = jnp.sum(gx * gx)
-        b = jnp.sum(gx * gy)
-        c = jnp.sum(gy * gy)
-        det = a * c - b * b
-        ok = det > 1e-6
-        inv = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-6), 0.0)
+    Windows are centered at the rounded template position (img0) and at the
+    incoming guess (img1) so the iterations only need ±MAX_DISP of slack;
+    everything inside the loop is dense math on [F, P, P] tensors."""
+    win_half = half + MAX_DISP + 1
+    c0 = jnp.round(pts0).astype(jnp.int32)
+    w0, xs0, ys0 = _extract_windows(img0, c0, win_half)
+    c1 = jnp.round(pts0 + guess).astype(jnp.int32)
+    w1, xs1, ys1 = _extract_windows(img1, c1, win_half)
 
-        def body(_, d):
-            cur = _bilinear(img1, patch_xy + d[None, :])
-            e = cur - t
-            jx = jnp.sum(e * gx)
-            jy = jnp.sum(e * gy)
-            dx = inv * (c * jx - b * jy)
-            dy = inv * (-b * jx + a * jy)
-            return d - jnp.asarray([dx, dy])
+    off0x = pts0[:, 0] - xs0.astype(dtype)
+    off0y = pts0[:, 1] - ys0.astype(dtype)
+    t = _sample_patch(w0, off0x, off0y, half)               # template
+    gx = 0.5 * (_sample_patch(w0, off0x + 1, off0y, half)
+                - _sample_patch(w0, off0x - 1, off0y, half))
+    gy = 0.5 * (_sample_patch(w0, off0x, off0y + 1, half)
+                - _sample_patch(w0, off0x, off0y - 1, half))
+    a = jnp.sum(gx * gx, axis=(-2, -1))
+    b = jnp.sum(gx * gy, axis=(-2, -1))
+    c = jnp.sum(gy * gy, axis=(-2, -1))
+    det = a * c - b * b
+    ok = det > 1e-6
+    inv = jnp.where(ok, 1.0 / jnp.maximum(det, 1e-6), 0.0)
 
-        d = jax.lax.fori_loop(0, iters, body, g)
-        return d, v & ok
+    x1f = xs1.astype(dtype)
+    y1f = ys1.astype(dtype)
 
-    return jax.vmap(per_feature)(pts0, guess, valid)
+    def body(_, d):
+        cur = _sample_patch(w1, pts0[:, 0] + d[:, 0] - x1f,
+                            pts0[:, 1] + d[:, 1] - y1f, half)
+        e = cur - t
+        jx = jnp.sum(e * gx, axis=(-2, -1))
+        jy = jnp.sum(e * gy, axis=(-2, -1))
+        dx = inv * (c * jx - b * jy)
+        dy = inv * (-b * jx + a * jy)
+        return d - jnp.stack([dx, dy], axis=-1)
+
+    d = jax.lax.fori_loop(0, iters, body, guess)
+    return d, valid & ok
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6))
