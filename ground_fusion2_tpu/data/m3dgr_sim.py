@@ -168,6 +168,7 @@ class ReplayResult:
     gt_p_vio: np.ndarray
     n_switches: int
     outputs: list
+    mesh_stats: dict | None = None
 
 
 def replay_m3dgr_log(
@@ -176,8 +177,15 @@ def replay_m3dgr_log(
     num_feats: int = 96,
     process_every: int = 2,      # reference: every 2nd image (estimator.cpp:226)
     use_lidar: bool = True,
+    use_mesh: bool = False,
+    mesh_ply: str | None = None,
 ) -> ReplayResult:
-    """Replay a log through the complete pipeline; returns trajectories."""
+    """Replay a log through the complete pipeline; returns trajectories.
+
+    ``use_mesh`` feeds the LIO's world clouds + fused poses + camera images
+    through the online mesher (the reference's ImMesh intake,
+    ``ImMesh_mesh_reconstruction.cpp:734-800``); ``mesh_ply`` exports the
+    textured mesh at the end."""
     import jax.numpy as jnp
 
     from ..frontend.tracker import FeatureTracker, TrackerConfig
@@ -203,7 +211,11 @@ def replay_m3dgr_log(
         use_wheel=config.estimator.use_wheel,
         g_norm=config.estimator.g_norm)
     gf = GroundFusion(SystemConfig(vio=est_cfg, lio=config.lio,
-                                   use_lidar=use_lidar and config.use_lidar),
+                                   use_lidar=use_lidar and config.use_lidar,
+                                   use_mesh=use_mesh,
+                                   mesh_intrinsics=(
+                                       raw_cam["fx"], raw_cam["fy"],
+                                       raw_cam["cx"], raw_cam["cy"])),
                       tic=config.tic, ric=config.ric)
 
     # ingest state
@@ -284,9 +296,23 @@ def replay_m3dgr_log(
             i1 = len(imu_t) - 1
             if i1 <= lid_last_idx:
                 continue
+            mesh_kwargs = {}
+            if use_mesh and pend_img is not None and gf.latest_vio is not None \
+                    and gf.latest_vio.initialized:
+                # texture camera pose = latest VIO body pose o cam extrinsic
+                from ..core import lie as _lie
+                import jax.numpy as _jnp
+                R_wb = np.asarray(_lie.quat_to_mat(
+                    _jnp.asarray(gf.latest_vio.q, _jnp.float32)))
+                r_wc = R_wb @ config.ric
+                t_wc = gf.latest_vio.p + R_wb @ config.tic
+                img3 = np.repeat((pend_img[1] * 255.0)[:, :, None], 3, axis=2)
+                mesh_kwargs = dict(img=img3.astype(np.float32),
+                                   cam_pose_world=(r_wc, t_wc))
             lo = gf.process_lidar(
                 t, pts_b.astype(np.float32), pts4[:, 3].copy(),
-                np.ones((nn,), np.float32), imu_chunk(lid_last_idx, i1))
+                np.ones((nn,), np.float32), imu_chunk(lid_last_idx, i1),
+                **mesh_kwargs)
             lid_last_idx = i1
             if lo is not None:
                 fused_t.append(t); fused_p.append(np.asarray(lo.p_fused))
@@ -300,6 +326,13 @@ def replay_m3dgr_log(
     def gt_at(ts):
         return np.stack([np.interp(ts, gt_t, gt_p[:, k]) for k in range(3)], -1)
 
+    mesh_stats = None
+    if gf.mesher is not None:
+        mesh_stats = gf.mesher.stats()
+        if mesh_ply:
+            nv, nf = gf.mesher.export_ply(mesh_ply)
+            mesh_stats["exported"] = (nv, nf)
+
     est_p = np.asarray(fused_p) if fused_p else np.zeros((0, 3))
     est_t = np.asarray(fused_t) if fused_t else np.zeros((0,))
     vio_p = np.asarray(vio_p) if vio_p else np.zeros((0, 3))
@@ -307,4 +340,4 @@ def replay_m3dgr_log(
     return ReplayResult(
         t=est_t, est_p=est_p, gt_p=gt_at(est_t) if len(est_t) else est_p,
         est_p_vio=vio_p, gt_p_vio=gt_at(vio_ts) if len(vio_ts) else vio_p,
-        n_switches=n_switch, outputs=outputs)
+        n_switches=n_switch, outputs=outputs, mesh_stats=mesh_stats)

@@ -133,9 +133,10 @@ def _gn_step(p_ext, q_ext, ray, rho, obs, valid, halo, K, shard_idx, lam,
     H = jnp.zeros((K * 6, K * 6), dtype).at[jnp.ix_(gidx, gidx)].add(H_ext)
     g = jnp.zeros((K * 6,), dtype).at[gidx].add(g_ext)
     diag = jnp.zeros((K * 6,), dtype).at[gidx].add(diag_ext)
-    H = jax.lax.psum(H, axis_name)
-    g = jax.lax.psum(g, axis_name)
-    diag = jax.lax.psum(diag, axis_name)
+    # ONE fused psum for (H | g | diag): a single rendezvous instead of 3
+    Hgd = jnp.concatenate([H, g[:, None], diag[:, None]], axis=1)
+    Hgd = jax.lax.psum(Hgd, axis_name)
+    H, g, diag = Hgd[:, :K * 6], Hgd[:, K * 6], Hgd[:, K * 6 + 1]
 
     # gauge: pin keyframe 0
     free = jnp.ones((K * 6,), dtype).at[:6].set(0.0)
@@ -180,10 +181,13 @@ def make_mapping_solver(mesh: Mesh, K: int, halo: int, iters: int = 3,
         shard_idx = jax.lax.axis_index(axis_name)
 
         def halo_exchange(p, q):
-            """Receive the first ``halo`` poses of the right neighbour."""
+            """Receive the first ``halo`` poses of the right neighbour.
+            One fused ppermute for p+q (collectives are latency-bound at
+            this size — pay the rendezvous once)."""
             perm = [(i + 1, i) for i in range(D - 1)]   # right -> left
-            hp = jax.lax.ppermute(p[:halo], axis_name, perm)
-            hq = jax.lax.ppermute(q[:halo], axis_name, perm)
+            pq = jnp.concatenate([p[:halo], q[:halo]], axis=-1)   # [halo, 7]
+            h = jax.lax.ppermute(pq, axis_name, perm)
+            hp, hq = h[:, :3], h[:, 3:]
             # the last shard has no right neighbour: ppermute delivers zeros,
             # and a zero quaternion would NaN under boxplus normalization —
             # replace with identity (those observations are masked anyway)

@@ -19,18 +19,33 @@ import numpy as np
 
 
 class Telemetry:
-    def __init__(self):
+    """``max_rows`` bounds every in-memory buffer: long-running systems
+    must not grow host lists without limit (r2 advisor finding). When a
+    buffer fills, the oldest half is spilled — counters/summary stay
+    exact, per-row history keeps the most recent window."""
+
+    def __init__(self, max_rows: int = 200_000):
+        self.max_rows = max_rows
         self.streams: dict[str, list] = defaultdict(list)   # name -> rows
         self.stats: list[dict] = []
         self.events: list[dict] = []
         self.counters: dict[str, float] = defaultdict(float)
+        self.dropped: dict[str, int] = defaultdict(int)
+
+    def _cap(self, name: str, buf: list):
+        if len(buf) >= self.max_rows:
+            half = len(buf) // 2
+            self.dropped[name] += half
+            del buf[:half]
 
     # ---------------------------------------------------------- inputs
     def pose(self, stream: str, t: float, p, q):
         """Append one pose (TUM row) to a named stream."""
         p = np.asarray(p, float)
         q = np.asarray(q, float)
-        self.streams[stream].append((float(t), *p.tolist(), *q.tolist()))
+        buf = self.streams[stream]
+        self._cap(stream, buf)
+        buf.append((float(t), *p.tolist(), *q.tolist()))
 
     def tick(self, t: float, **stats):
         """Record one tick's scalar statistics (tracked count, cost, ...)."""
@@ -38,10 +53,12 @@ class Telemetry:
         for k, v in stats.items():
             row[k] = float(v) if isinstance(v, (int, float, np.floating,
                                                 np.integer, bool)) else v
+        self._cap("stats", self.stats)
         self.stats.append(row)
 
     def event(self, t: float, kind: str, **info):
         """Discrete event (switch, reboot, loop closure, gnss align...)."""
+        self._cap("events", self.events)
         self.events.append({"t": float(t), "kind": kind, **info})
         self.counters[kind] += 1
 
@@ -67,6 +84,8 @@ class Telemetry:
         """The printStatistics analog: aggregates over the run."""
         s: dict = {"streams": {k: len(v) for k, v in self.streams.items()},
                    "events": dict(self.counters)}
+        if self.dropped:
+            s["rows_dropped"] = dict(self.dropped)
         if self.stats:
             keys = set().union(*(set(r) for r in self.stats)) - {"t"}
             for k in sorted(keys):

@@ -8,23 +8,51 @@ Note: this environment's sitecustomize registers a remote `axon` TPU PJRT
 plugin and forces ``jax_platforms="axon,cpu"`` via jax.config (so the
 JAX_PLATFORMS env var alone is NOT enough). We override through jax.config
 after import, before any backend is initialized.
+
+Real-device subset: ``GF2_TPU_TESTS=1 python -m pytest tests -m tpu``
+keeps the default (TPU) platform and runs only the ``tpu``-marked tests —
+the device-regression gate that catches dispatch/numerics issues the CPU
+suite can't see (round-2's bench blowup was invisible to CPU tests).
 """
 
 import os
 
+TPU_MODE = bool(os.environ.get("GF2_TPU_TESTS"))
+
 # Read at CPU backend init — must be set before the first jax.devices() call.
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if not TPU_MODE:
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: runs on the real TPU (GF2_TPU_TESTS=1, -m tpu)")
+    config.addinivalue_line("markers", "slow: long-running e2e test")
+
+
+def pytest_collection_modifyitems(config, items):
+    skip_tpu = pytest.mark.skip(
+        reason="TPU tests need GF2_TPU_TESTS=1 (and the axon device)")
+    skip_cpu = pytest.mark.skip(
+        reason="CPU-suite test skipped in GF2_TPU_TESTS mode")
+    for item in items:
+        has_tpu = "tpu" in item.keywords
+        if has_tpu and not TPU_MODE:
+            item.add_marker(skip_tpu)
+        if not has_tpu and TPU_MODE:
+            item.add_marker(skip_cpu)
 
 
 @pytest.fixture
@@ -32,6 +60,8 @@ def rng():
     return np.random.default_rng(0)
 
 # persistent compile cache across test processes
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/root/.jax_cache_bench" if TPU_MODE else "/root/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,21 +1,29 @@
 #!/usr/bin/env python
-"""Weak-scaling measurement of the distributed BA paths.
+"""Weak-scaling measurement of the distributed BA paths — TIME-BASED.
 
 BASELINE north star: >= 70 % weak-scaling efficiency of distributed
 (keyframe/map-block sharded) bundle adjustment at >= 2 hosts. Real
-multi-chip hardware is not reachable from CI; this runs the same SPMD
-programs on a virtual host-platform device mesh and reports TWO signals:
+multi-chip hardware is not reachable from CI, so this runs the SPMD
+programs on a virtual host-platform device mesh and reports:
 
-* **per-device FLOPs from XLA cost analysis** — the compiler's own count of
-  the work one device executes. Constant per-device FLOPs as devices grow is
-  the weak-scaling property the program must have; on real ICI the remaining
-  cost is the collectives, which are latency-bound at these sizes. This is
-  hardware-independent and the primary number.
-* **wall clock** — recorded for completeness, but on this CI machine all
-  virtual devices share 2 physical cores, so wall time necessarily grows
-  ~linearly with the device count regardless of program quality; it is NOT
-  a scaling signal here (the driver's real-chip bench covers single-chip
-  speed; multi-chip wall clock needs a pod).
+* **serialization-corrected wall-clock efficiency** ``t(1) * d / t(d)``
+  (median of several reps). On this host every virtual device shares ONE
+  XLA:CPU intra-op thread pool over 2 physical cores, so device programs
+  execute serially and perfect weak scaling shows as wall time growing
+  exactly linearly in d — i.e. corrected efficiency ~1.0. Values well
+  below 0.7 indicate real redundant work or collective blowup in the
+  program (what weak scaling is supposed to catch).
+* **per-device FLOPs from XLA cost analysis** — the compiler-side
+  invariant: constant per-device FLOPs as devices grow.
+* **variance** (min/median/max over reps). Root cause of round-2's "95x
+  cliff at 8 devices": 8 device threads spin-waiting in collective
+  rendezvous on 2 cores produce scheduler stalls with enormous
+  nondeterministic variance (the same compiled mapping solve measured
+  0.15 s and 22 s in different processes; at <= 4 devices the variance
+  disappears). It is a CI-host measurement artifact, not a property of
+  the program — per-device FLOPs stay constant and the halo/psum
+  structure is device-count-independent. Medians over reps plus the
+  corrected-efficiency metric make the report robust to it.
 
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python tools/bench_weak_scaling.py
@@ -49,6 +57,8 @@ except Exception:
 import numpy as np                                            # noqa: E402
 from jax.sharding import Mesh                                 # noqa: E402
 
+REPS = 5
+
 
 def _flops_per_device(compiled) -> float:
     """XLA cost analysis: FLOPs of ONE device's program (SPMD: identical)."""
@@ -58,7 +68,19 @@ def _flops_per_device(compiled) -> float:
     return float(ca.get("flops", float("nan")))
 
 
-def bench_mapping(devices, ks_per_dev=8, lpk=128, halo=3, iters=3, reps=3):
+def _time_reps(compiled, *args):
+    out = compiled(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = compiled(*args)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return ts
+
+
+def bench_mapping(devices, ks_per_dev=8, lpk=128, halo=3, iters=3):
     """Keyframe-sharded mapping BA, fixed per-device block."""
     from ground_fusion2_tpu.parallel.dist_mapping import (
         make_mapping_problem, make_mapping_solver)
@@ -70,18 +92,11 @@ def bench_mapping(devices, ks_per_dev=8, lpk=128, halo=3, iters=3, reps=3):
         mesh = Mesh(np.array(jax.devices()[:d]), ("k",))
         solver = make_mapping_solver(mesh, K, halo, iters=iters)
         compiled = solver.lower(prob).compile()
-        out = compiled(prob)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = compiled(prob)
-        jax.block_until_ready(out)
-        results[d] = ((time.perf_counter() - t0) / reps,
-                      _flops_per_device(compiled))
+        results[d] = (_time_reps(compiled, prob), _flops_per_device(compiled))
     return results
 
 
-def bench_window(devices, feats_per_dev=32, reps=3):
+def bench_window(devices, feats_per_dev=32):
     """Landmark-sharded window BA, fixed per-device feature block."""
     from ground_fusion2_tpu.data.example import make_example_window
     from ground_fusion2_tpu.parallel.dist_ba import make_distributed_solver
@@ -94,13 +109,7 @@ def bench_window(devices, feats_per_dev=32, reps=3):
         mesh = Mesh(np.array(jax.devices()[:d]), ("f",))
         solver = make_distributed_solver(mesh, WindowLayout(F), cfg, iters=4)
         compiled = solver.lower(x0, meas).compile()
-        out = compiled(x0, meas)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = compiled(x0, meas)
-        jax.block_until_ready(out)
-        results[d] = ((time.perf_counter() - t0) / reps,
+        results[d] = (_time_reps(compiled, x0, meas),
                       _flops_per_device(compiled))
     return results
 
@@ -110,24 +119,43 @@ def main():
     devices = [d for d in (1, 2, 4, 8) if d <= n_dev]
     report = {"n_devices_available": n_dev,
               "platform": jax.devices()[0].platform,
-              "note": ("wall clock on this host is core-bound (all virtual "
-                       "devices share the physical cores); per-device FLOPs "
-                       "is the scaling signal")}
+              "reps": REPS,
+              "note": ("virtual devices share one intra-op pool on this "
+                       "host -> device programs serialize; corrected "
+                       "efficiency t1*d/td ~1.0 == perfect weak scaling; "
+                       "8-thread collective rendezvous on 2 cores adds "
+                       "nondeterministic stalls (round-2 'cliff'), hence "
+                       "median-of-reps")}
 
     def fmt(res):
+        t1 = float(np.median(res[1][0]))
         f1 = res[1][1]
-        return {str(d): {
-            "s_per_solve": round(t, 4),
-            "flops_per_device": f,
-            "flop_weak_efficiency": round(f1 / f, 3) if f == f else None,
-        } for d, (t, f) in res.items()}
+        out = {}
+        for d, (ts, f) in res.items():
+            td = float(np.median(ts))
+            out[str(d)] = {
+                "s_median": round(td, 4),
+                "s_min": round(min(ts), 4),
+                "s_max": round(max(ts), 4),
+                "time_weak_eff_serialized": round(t1 * d / td, 3),
+                "flops_per_device": f,
+                "flop_weak_efficiency": round(f1 / f, 3) if f == f else None,
+            }
+        return out
 
     tm = bench_mapping(devices)
     tw = bench_window(devices)
     report["mapping_ba"] = fmt(tm)
     report["window_ba"] = fmt(tw)
     dmax = max(devices)
+
+    def eff(res, d):
+        return round(float(np.median(res[1][0])) * d
+                     / float(np.median(res[d][0])), 3)
+
     report["summary"] = {
+        "mapping_time_weak_eff_at_max": eff(tm, dmax),
+        "window_time_weak_eff_at_max": eff(tw, dmax),
         "mapping_flop_weak_eff_at_max": round(tm[1][1] / tm[dmax][1], 3),
         "window_flop_weak_eff_at_max": round(tw[1][1] / tw[dmax][1], 3),
         "target": 0.70,
