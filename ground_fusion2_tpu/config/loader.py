@@ -64,6 +64,10 @@ def load_config(path: str | Path) -> SystemYamlConfig:
         max_iters=est_raw.get("max_num_iterations", 8),
         use_wheel=use_wheel,
         use_gnss=use_gnss,
+        # plane / motion factors fire per config (reference use_plane /
+        # use_motion YAML keys, estimator.cpp:3214-3238)
+        use_plane=bool(est_raw.get("plane", 0)),
+        use_motion=bool(est_raw.get("use_motion", 0)),
         estimate_extrinsic=bool(est_raw.get("estimate_extrinsic", 0)),
         extrinsic_type=int(est_raw.get("extrinsic_type", 3)),
         estimate_td=bool(est_raw.get("estimate_td", 0)),

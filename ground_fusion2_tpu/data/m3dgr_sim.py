@@ -179,6 +179,7 @@ def replay_m3dgr_log(
     use_lidar: bool = True,
     use_mesh: bool = False,
     mesh_ply: str | None = None,
+    mesh_drain_every: int = 4,
 ) -> ReplayResult:
     """Replay a log through the complete pipeline; returns trajectories.
 
@@ -213,6 +214,7 @@ def replay_m3dgr_log(
     gf = GroundFusion(SystemConfig(vio=est_cfg, lio=config.lio,
                                    use_lidar=use_lidar and config.use_lidar,
                                    use_mesh=use_mesh,
+                                   mesh_drain_every=mesh_drain_every,
                                    mesh_intrinsics=(
                                        raw_cam["fx"], raw_cam["fy"],
                                        raw_cam["cx"], raw_cam["cy"])),

@@ -213,7 +213,9 @@ def plane_residuals(x: WindowState, weight: float, valid: jax.Array):
     rel_t = lie.quat_rotate(q0_inv[None], t_w[1:] - t_w[0][None])
     ypr = lie.mat_to_ypr(lie.quat_to_mat(rel_q))
     r = jnp.stack([rel_t[:, 2], ypr[:, 1], ypr[:, 2]], axis=-1) * weight
-    w = jnp.repeat(valid[:, None].astype(r.dtype), 3, axis=-1)
+    # valid may be a scalar gate ({0,1}) or a per-frame [W-1] mask
+    v = jnp.asarray(valid, r.dtype) * jnp.ones((r.shape[0],), r.dtype)
+    w = jnp.repeat(v[:, None], 3, axis=-1)
     return r, w
 
 

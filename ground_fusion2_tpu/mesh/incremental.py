@@ -401,8 +401,12 @@ class OnlineMesher:
     voxel's triangle set is atomically replaced in the host registry."""
 
     def __init__(self, cfg: MeshConfig | None = None, origin=None,
-                 intrinsics=None):
+                 intrinsics=None, drain_every: int = 1):
         self.cfg = cfg or MeshConfig()
+        # retriangulation cadence: successive scans re-dirty mostly the
+        # same voxels, so draining every N frames coalesces work (the
+        # pending set dedups); outputs always drain first
+        self.drain_every = max(1, drain_every)
         # retriangulation's per-voxel gather window must cover everything
         # insert can store per voxel, or stored vertices silently drop out
         # of the triangulation
@@ -451,7 +455,8 @@ class OnlineMesher:
                 jnp.asarray(self.intr), jnp.asarray(r_wc, jnp.float32),
                 jnp.asarray(t_wc, jnp.float32), self.cfg)
         self.frames += 1
-        self._drain()
+        if self.frames % self.drain_every == 0:
+            self._drain()
 
     def _mark_dirty(self, pts: np.ndarray):
         if pts.size == 0:
@@ -485,6 +490,7 @@ class OnlineMesher:
 
     # -- outputs -----------------------------------------------------------
     def vertices(self):
+        self._drain()
         """(vids [V], pts [V, 3], rgb [V, 3]) of live vertices."""
         code = np.asarray(self.mesh.code)
         live = code != int(INVALID)
@@ -494,6 +500,7 @@ class OnlineMesher:
 
     def triangles(self) -> np.ndarray:
         """All triangles as stable vertex ids, [T, 3]."""
+        self._drain()
         if not self.tris:
             return np.zeros((0, 3), np.int32)
         return np.concatenate(list(self.tris.values()), axis=0)

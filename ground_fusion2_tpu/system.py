@@ -56,6 +56,7 @@ class SystemConfig:
     use_mesh: bool = False
     mesh: object | None = None                # MeshConfig
     mesh_intrinsics: tuple | None = None      # (fx, fy, cx, cy) for texture
+    mesh_drain_every: int = 1                 # retriangulation cadence
     # camera intrinsics for keyframe pixel projection (loop closure BRIEF)
     cam_intr: tuple = (460.0, 460.0, 320.0, 240.0)
     kf_cell: int = 20      # fresh keyframe corner grid (reference detects
@@ -111,7 +112,8 @@ class GroundFusion:
         if cfg.use_mesh:
             from .mesh.incremental import MeshConfig, OnlineMesher
             self.mesher = OnlineMesher(cfg.mesh or MeshConfig(),
-                                       intrinsics=cfg.mesh_intrinsics)
+                                       intrinsics=cfg.mesh_intrinsics,
+                                       drain_every=cfg.mesh_drain_every)
 
     def restart(self):
         """External estimator restart (the reference's ``/vins_restart``

@@ -4,9 +4,13 @@ The north-star validation path (reference ``README.md:146-189``): a sequence
 with the *real M3DGR calibration* (``configs/m3dgr.yaml``) in the exact
 converted-bag log format, replayed through the complete pipeline — CLAHE,
 Shi-Tomasi/KLT, RANSAC rejection, depth association, sliding-window VIO,
-LIO with the degeneracy switch — and scored by ATE against ground truth.
-Real bags are not shippable; the sequence is rendered (data/render.py), but
-every pipeline stage runs exactly as it would on converted real data.
+LIO with the degeneracy switch, online meshing — and scored by ATE against
+ground truth. Real bags are not shippable; the sequence is rendered
+(data/render.py), but every pipeline stage runs exactly as it would on
+converted real data.
+
+Budget note: ONE full LVIO+mesh replay is shared module-wide (the replay is
+the expensive part); each test asserts one aspect of the same run.
 """
 
 import numpy as np
@@ -18,41 +22,40 @@ from ground_fusion2_tpu.eval.metrics import ate_rmse
 
 
 @pytest.fixture(scope="module")
-def m3dgr_log(tmp_path_factory):
+def m3dgr_run(tmp_path_factory):
     cfg = load_config("configs/m3dgr.yaml")
-    path = str(tmp_path_factory.mktemp("m3dgr") / "seq01.gf2log")
+    d = tmp_path_factory.mktemp("m3dgr")
+    path = str(d / "seq01.gf2log")
     generate_m3dgr_log(path, cfg, duration=8.0, with_lidar=True, seed=0)
-    return path, cfg
+    ply = str(d / "mesh.ply")
+    res = replay_m3dgr_log(path, cfg, num_feats=64, use_lidar=True,
+                           use_mesh=True, mesh_ply=ply)
+    return res, ply
 
 
 @pytest.mark.slow
-def test_m3dgr_sim_vio_ate(m3dgr_log):
-    path, cfg = m3dgr_log
-    res = replay_m3dgr_log(path, cfg, num_feats=64, use_lidar=False)
+def test_m3dgr_sim_vio_ate(m3dgr_run):
+    res, _ = m3dgr_run
     assert len(res.est_p_vio) > 20, "VIO produced too few poses"
     ate = ate_rmse(res.est_p_vio, res.gt_p_vio, align=True)
     assert ate < 0.30, f"M3DGR-sim VIO ATE {ate:.3f} m"
 
 
 @pytest.mark.slow
-def test_m3dgr_sim_full_lvio(m3dgr_log):
-    path, cfg = m3dgr_log
-    res = replay_m3dgr_log(path, cfg, num_feats=64, use_lidar=True)
+def test_m3dgr_sim_full_lvio(m3dgr_run):
+    res, _ = m3dgr_run
     assert len(res.est_p) > 20, "LIO produced too few poses"
     ate = ate_rmse(res.est_p, res.gt_p, align=True)
     assert ate < 0.30, f"M3DGR-sim fused ATE {ate:.3f} m"
 
 
 @pytest.mark.slow
-def test_m3dgr_sim_mesh_artifact(m3dgr_log, tmp_path):
+def test_m3dgr_sim_mesh_artifact(m3dgr_run):
     """System-level meshing: LIO world clouds + fused poses + camera images
     through the online mesher during the SAME replay, textured mesh
     exported (reference ImMesh intake + reconstruction,
     ``ImMesh_mesh_reconstruction.cpp:102-560, 734-800``)."""
-    path, cfg = m3dgr_log
-    ply = str(tmp_path / "mesh.ply")
-    res = replay_m3dgr_log(path, cfg, num_feats=64, use_lidar=True,
-                           use_mesh=True, mesh_ply=ply)
+    res, ply = m3dgr_run
     st = res.mesh_stats
     assert st is not None
     assert st["vertices"] > 200, st
@@ -62,7 +65,6 @@ def test_m3dgr_sim_mesh_artifact(m3dgr_log, tmp_path):
     # texturing reached the camera-visible share of the vertex store (the
     # LiDAR maps 360 deg; the camera frustum covers ~10% of the room over
     # this short sequence)
-    import numpy as np
     lines = open(ply).read().splitlines()
     hdr_end = lines.index("end_header")
     body = lines[hdr_end + 1:hdr_end + 1 + nv]

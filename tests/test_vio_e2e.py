@@ -9,10 +9,10 @@ from ground_fusion2_tpu.eval.metrics import ate_rmse
 
 @pytest.mark.slow
 def test_vio_e2e_clean():
-    res = run_synthetic_sequence(duration=12.0, pix_noise=0.0, imu_noise=False)
+    res = run_synthetic_sequence(duration=9.0, pix_noise=0.0, imu_noise=False)
     # skip the un-initialized prefix
     init = [i for i, o in enumerate(res.outputs) if o.initialized]
-    assert len(init) > 60, "estimator never initialized"
+    assert len(init) > 40, "estimator never initialized"
     s = init[0]
     ate = ate_rmse(res.est_p[s:], res.gt_p[s:], align=False)
     assert ate < 0.05, f"ATE {ate:.3f} m"
@@ -20,10 +20,10 @@ def test_vio_e2e_clean():
 
 @pytest.mark.slow
 def test_vio_e2e_noisy():
-    res = run_synthetic_sequence(duration=12.0, pix_noise=1.0 / 460.0,
+    res = run_synthetic_sequence(duration=9.0, pix_noise=1.0 / 460.0,
                                  imu_noise=True, seed=3)
     init = [i for i, o in enumerate(res.outputs) if o.initialized]
-    assert len(init) > 60
+    assert len(init) > 40
     s = init[0]
     ate = ate_rmse(res.est_p[s:], res.gt_p[s:], align=False)
     assert ate < 0.15, f"ATE {ate:.3f} m"
