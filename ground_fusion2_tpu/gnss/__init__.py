@@ -1,1 +1,2 @@
-from . import atmosphere, ephemeris, frames, global_opt, sim, spp  # noqa: F401
+from . import (atmosphere, ephemeris, frames, global_opt, rinex,  # noqa: F401
+               sim, spp)
