@@ -36,6 +36,7 @@ import numpy as np
 
 from ..frontend import klt
 from ..frontend.clahe import clahe
+from ..frontend.dynamic import DynMaskConfig, dynamic_mask
 from ..frontend.ransac import ransac_f_reject
 from ..gnss.factors import GnssTable
 from ..sensors.imu_preint import propagate_state
@@ -47,6 +48,41 @@ from .estimator import (MAX_IMU_PER_INTERVAL, EstimatorConfig, VioEstimator,
 from .problem import (VioMeasurements, marginalize_oldest,
                       marginalize_second_newest, solve_window)
 from .state import NUM_FRAMES, WindowLayout, WindowState
+
+
+def _so3_exp_np(w):
+    """Host Rodrigues (tiny per-tick gyro integration, ≤20 steps)."""
+    th = np.linalg.norm(w)
+    if th < 1e-9:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def _quat_to_mat_np(q):
+    """[w, x, y, z] → rotation matrix (host)."""
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+@partial(jax.jit, static_argnames=("cfg", "H", "W", "s"))
+def _auto_mask_step(prev_gray, prev_depth, gray_lo, depth_lo,
+                    R_pc, t_pc, K_lo, cfg, H, W, s):
+    """Dynamic mask on the decimated frame, upsampled to tracker resolution.
+
+    Returns the mask plus the transferred current lo-res frames so the
+    caller can cache them on-device for the next tick."""
+    m = dynamic_mask(prev_gray, prev_depth, gray_lo, depth_lo,
+                     R_pc, t_pc, K_lo, cfg)
+    m = jnp.repeat(jnp.repeat(m, s, axis=0), s, axis=1)[:H, :W]
+    pad_h, pad_w = H - m.shape[0], W - m.shape[1]
+    if pad_h or pad_w:
+        m = jnp.pad(m, ((0, pad_h), (0, pad_w)))
+    return m, gray_lo, depth_lo
 
 
 class TrackerCarry(NamedTuple):
@@ -469,7 +505,8 @@ class FusedVio:
 
     def __init__(self, cfg: EstimatorConfig, tracker_cfg, cam,
                  tic=None, ric=None, depth_stride: int = 1,
-                 pipelined: bool = False):
+                 pipelined: bool = False, auto_dyn_mask: bool = False,
+                 dyn_cfg: DynMaskConfig | None = None):
         """``depth_stride``: upload the depth image decimated by this factor
         (f16) — RGB-D depth tolerates it, the tunnel doesn't tolerate full
         f32 frames. ``pipelined``: overlap the record readback with the next
@@ -506,6 +543,15 @@ class FusedVio:
         self.frame_count = 0
         self.dispatch_count = 0      # fused device dispatches (for tests)
         self._zero_mask = None
+        # automatic dynamic-object masking (frontend/dynamic.py: rigid-warp
+        # inconsistency replaces the reference's YOLO boxes). Adds ONE extra
+        # device dispatch per tick; motion prediction uses the gyro chunk +
+        # the last read-back velocity (one-tick lag in pipelined mode).
+        self.auto_dyn_mask = auto_dyn_mask
+        self.dyn_cfg = dyn_cfg or DynMaskConfig()
+        self._prev_lo = None         # (gray_lo, depth_lo) device cache
+        self._last_q = None          # latest read-back body orientation
+        self._last_v = np.zeros(3, np.float32)
         # noise params as device scalars ONCE — python floats as jit args
         # would transfer (and pay tunnel latency) every tick
         self._imu_noise_dev = jax.tree.map(
@@ -592,6 +638,7 @@ class FusedVio:
 
     def _make_output(self, t, rec_dev) -> VioOutput:
         rec = TickRecord.unpack(np.asarray(rec_dev))   # ONE readback
+        self._last_q, self._last_v = rec.q, rec.v
         out = VioOutput(
             t=t, p=rec.p, q=rec.q, v=rec.v, initialized=True,
             is_keyframe=rec.is_kf, stationary=rec.stationary,
@@ -623,6 +670,43 @@ class FusedVio:
         return self._make_output(t, rec_dev)
 
     # ------------------------------------------------------------------
+    def _predict_rel_motion(self, imu):
+        """Host-side prev←cur camera transform prediction for the dynamic
+        mask: gyro-integrated ΔR over the chunk + constant-velocity Δp
+        (the same short-horizon prediction the reference's fast path uses)."""
+        acc, gyr, dts = imu
+        dR = np.eye(3)
+        for k in range(len(dts)):
+            dR = dR @ _so3_exp_np(0.5 * (gyr[k] + gyr[k + 1]) * dts[k])
+        R_bc = np.eye(3) if self._ric is None else np.asarray(self._ric)
+        t_bc = np.zeros(3) if self._tic is None else np.asarray(self._tic)
+        dp_w = self._last_v * float(np.sum(dts))
+        R_wb_prev = (_quat_to_mat_np(self._last_q)
+                     if self._last_q is not None else np.eye(3))
+        R_pc = R_bc.T @ dR @ R_bc
+        t_pc = R_bc.T @ (R_wb_prev.T @ dp_w + (dR - np.eye(3)) @ t_bc)
+        return (R_pc.astype(np.float32), t_pc.astype(np.float32))
+
+    def _compute_auto_mask(self, img_u8, depth, imu):
+        """ONE extra device dispatch: mask from the cached previous frame."""
+        s = self.depth_stride
+        gray_lo = (img_u8[::s, ::s].astype(np.float32) * (1.0 / 255.0))
+        depth_lo = np.asarray(depth, np.float32)[::s, ::s]
+        if self._prev_lo is None:
+            self._prev_lo = (jnp.asarray(gray_lo), jnp.asarray(depth_lo))
+            return None
+        R_pc, t_pc = self._predict_rel_motion(imu)
+        K_lo = np.array([float(self.cam.fx), float(self.cam.fy),
+                         float(self.cam.cx), float(self.cam.cy)],
+                        np.float32) / s
+        H, W = img_u8.shape
+        mask, g_dev, d_dev = _auto_mask_step(
+            self._prev_lo[0], self._prev_lo[1], gray_lo, depth_lo,
+            jnp.asarray(R_pc), jnp.asarray(t_pc), jnp.asarray(K_lo),
+            self.dyn_cfg, H, W, s)
+        self._prev_lo = (g_dev, d_dev)
+        return mask
+
     def process_image(self, t: float, img, depth, imu,
                       wheel_vel=None, dyn_mask=None) -> VioOutput | None:
         """One camera tick from raw image + depth + IMU chunk.
@@ -635,6 +719,8 @@ class FusedVio:
             img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
         else:
             img_u8 = img
+        if (self.auto_dyn_mask and dyn_mask is None and depth is not None):
+            dyn_mask = self._compute_auto_mask(img_u8, depth, imu)
         if self.carry is None:
             img_f = jnp.asarray(img_u8, jnp.float32) * (1.0 / 255.0)
             obs = self.tracker.track(t, img_f,
