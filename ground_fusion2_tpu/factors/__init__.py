@@ -1,1 +1,1 @@
-from . import vio_factors  # noqa: F401
+from . import line_factors, vio_factors  # noqa: F401

@@ -1,1 +1,1 @@
-from . import klt, tracker  # noqa: F401
+from . import dynamic, klt, lines, tracker  # noqa: F401
