@@ -153,6 +153,10 @@ class PoseGraph:
         reprojection into camera i; GN refinement on the inlier set. No
         odometry initialization — a drifted prior must not bias the edge.
 
+        The whole hypothesize→score→refine chain is ONE jitted fixed-shape
+        program (`_loop_geometry_dev`): K vmapped Kabsch hypotheses +
+        batched-Jacobian GN, padded to the slot count.
+
         Returns (dp, dq): body-frame pose of j expressed in body i
         (p_j = p_i + R_i dp; q_j = q_i ⊗ dq), or None."""
         cfg = self.cfg
@@ -171,62 +175,22 @@ class PoseGraph:
             return None
         pi3 = np.concatenate([ni * zi[:, None], zi[:, None]], axis=1)
 
-        # --- RANSAC: 3-point Kabsch hypotheses (cam j -> cam i) ----------
-        rng = np.random.default_rng(int(i) * 7919 + int(j))
-        cand = np.where(oki)[0]
-        best_inl = None
-        best_cnt = cfg.min_inliers - 1
-        for _ in range(cfg.ransac_iters):
-            s = rng.choice(cand, size=3, replace=False)
-            # degenerate sample guard
-            if np.linalg.matrix_rank(pj[s] - pj[s].mean(0)) < 2:
-                continue
-            R, t = _kabsch_rt(pj[s], pi3[s])
-            pred = pj @ R.T + t
-            z = np.maximum(pred[:, 2], 0.05)
-            err = np.linalg.norm(pred[:, :2] / z[:, None] - ni, axis=1)
-            inl = (err < cfg.inlier_thresh) & (pred[:, 2] > 0.05)
-            if inl.sum() > best_cnt:
-                best_cnt = int(inl.sum())
-                best_inl = inl
-        if best_inl is None:
-            return None
-
-        # --- GN refinement (6-DoF) on inliers, reprojection objective ----
-        R, t = _kabsch_rt(pj[best_inl & oki], pi3[best_inl & oki]) \
-            if (best_inl & oki).sum() >= 3 else _kabsch_rt(pj[best_inl],
-                                                           pi3[best_inl])
-        for _ in range(8):
-            pred = pj[best_inl] @ R.T + t
-            z = np.maximum(pred[:, 2], 0.05)
-            uv = pred[:, :2] / z[:, None]
-            r = (uv - ni[best_inl]).reshape(-1)
-            J = np.zeros((r.shape[0], 6))
-            for m, P in enumerate(pred):
-                x, y, zz = P
-                iz = 1.0 / max(zz, 0.05)
-                # d(uv)/d(P) [2,3]
-                duv = np.array([[iz, 0, -x * iz * iz],
-                                [0, iz, -y * iz * iz]])
-                # dP/d(t) = I ; dP/d(theta) = -[R pj]x  (right perturbation:
-                # P = R exp(th^) pj + t  =>  dP = R (th x pj) = -R [pj]x th)
-                dth = -R @ _hat(pj[best_inl][m])
-                J[2 * m:2 * m + 2, :3] = duv
-                J[2 * m:2 * m + 2, 3:] = duv @ dth
-            try:
-                dx = np.linalg.lstsq(J, -r, rcond=None)[0]
-            except np.linalg.LinAlgError:
-                return None
-            t = t + dx[:3]
-            R = R @ _exp_so3(dx[3:])
-            if np.linalg.norm(dx) < 1e-9:
-                break
-
-        # final inlier gate over ALL matches
-        pred = pj @ R.T + t
-        z = np.maximum(pred[:, 2], 0.05)
-        err = np.linalg.norm(pred[:, :2] / z[:, None] - ni, axis=1)
-        n_in = int(((err < cfg.inlier_thresh) & (pred[:, 2] > 0.05)).sum())
+        F = cfg.num_feats                    # fixed shape: pad match set
+        pjp = np.zeros((F, 3), np.float32)
+        nip = np.zeros((F, 2), np.float32)
+        pip = np.zeros((F, 3), np.float32)
+        vm = np.zeros((F,), np.float32)
+        km = np.zeros((F,), np.float32)
+        pjp[:M], nip[:M], pip[:M] = pj, ni, pi3
+        vm[:M] = 1.0
+        km[:M] = oki.astype(np.float32)
+        R, t, n_in = _loop_geometry_dev(
+            jnp.asarray(pjp), jnp.asarray(nip), jnp.asarray(pip),
+            jnp.asarray(vm), jnp.asarray(km),
+            jnp.asarray(cfg.inlier_thresh, jnp.float32),
+            jax.random.PRNGKey(int(i) * 7919 + int(j)),
+            K=cfg.ransac_iters)
+        R, t, n_in = np.asarray(R, np.float64), np.asarray(t), int(n_in)
         if n_in < cfg.min_inliers:
             return None
 
@@ -390,28 +354,78 @@ def _yaw_rot(yaw):
     return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
 
 
-def _hat(v):
-    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+@partial(jax.jit, static_argnames=("K", "iters"))
+def _loop_geometry_dev(pj, ni, pi3, valid, oki, thresh, key,
+                       K: int = 128, iters: int = 8):
+    """Batched PnP-RANSAC + GN, fixed [F]-shape (one dispatch per loop).
 
+    pj [F,3] 3D points in cam j; ni [F,2] bearings in cam i; pi3 [F,3] 3D
+    points in cam i (where depth exists); valid/oki [F] masks.
+    Returns (R [3,3], t [3], n_inliers) for cam j → cam i.
+    """
+    F = pj.shape[0]
+    w3 = valid * oki                          # Kabsch needs both depths
 
-def _exp_so3(w):
-    th = np.linalg.norm(w)
-    if th < 1e-12:
-        return np.eye(3) + _hat(w)
-    K = _hat(w / th)
-    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+    def score(R, t):
+        pred = pj @ R.T + t
+        z = jnp.maximum(pred[:, 2], 0.05)
+        err = jnp.linalg.norm(pred[:, :2] / z[:, None] - ni, axis=1)
+        inl = (err < thresh) & (pred[:, 2] > 0.05) & (valid > 0)
+        return inl
 
+    def kabsch(src, dst, wts):
+        ws = wts.sum() + 1e-9
+        cs = (src * wts[:, None]).sum(0) / ws
+        cd = (dst * wts[:, None]).sum(0) / ws
+        H = ((dst - cd) * wts[:, None]).T @ (src - cs)
+        U, s, Vt = jnp.linalg.svd(H)
+        det = jnp.linalg.det(U @ Vt)
+        S = jnp.diag(jnp.array([1.0, 1.0, 1.0]) .at[2].set(det))
+        R = U @ S @ Vt
+        return R, cd - R @ cs, s[1]           # s[1]→0: collinear sample
 
-def _kabsch_rt(src, dst):
-    """R, t with dst ≈ R src + t."""
-    cs, cd = src.mean(axis=0), dst.mean(axis=0)
-    H = (dst - cd).T @ (src - cs)
-    U, _, Vt = np.linalg.svd(H)
-    S = np.eye(3)
-    if np.linalg.det(U @ Vt) < 0:
-        S[2, 2] = -1
-    R = U @ S @ Vt
-    return R, cd - R @ cs
+    def hypothesis(k):
+        # weighted sampling w/o replacement: Gumbel-top-3 over the mask
+        g = jax.random.gumbel(k, (F,)) + jnp.log(w3 + 1e-30)
+        idx = jax.lax.top_k(g, 3)[1]
+        R, t, s1 = kabsch(pj[idx], pi3[idx], jnp.ones((3,)))
+        inl = score(R, t)
+        cnt = jnp.where(s1 > 1e-6, inl.sum(), 0)
+        return R, t, inl, cnt
+
+    Rs, ts, inls, cnts = jax.vmap(hypothesis)(jax.random.split(key, K))
+    b = jnp.argmax(cnts)
+    R, t, inl = Rs[b], ts[b], inls[b]
+
+    # GN refinement on the best hypothesis' inliers, batched Jacobian
+    wf = inl.astype(pj.dtype)
+    px = pj[:, 0]
+    hat_pj = jnp.zeros((F, 3, 3), pj.dtype)
+    hat_pj = hat_pj.at[:, 0, 1].set(-pj[:, 2]).at[:, 0, 2].set(pj[:, 1])
+    hat_pj = hat_pj.at[:, 1, 0].set(pj[:, 2]).at[:, 1, 2].set(-px)
+    hat_pj = hat_pj.at[:, 2, 0].set(-pj[:, 1]).at[:, 2, 1].set(px)
+
+    def gn_step(carry, _):
+        R, t = carry
+        pred = pj @ R.T + t
+        z = jnp.maximum(pred[:, 2], 0.05)
+        iz = 1.0 / z
+        uv = pred[:, :2] * iz[:, None]
+        r = uv - ni                                        # [F, 2]
+        duv = jnp.zeros((F, 2, 3), pj.dtype)
+        duv = duv.at[:, 0, 0].set(iz).at[:, 1, 1].set(iz)
+        duv = duv.at[:, 0, 2].set(-pred[:, 0] * iz * iz)
+        duv = duv.at[:, 1, 2].set(-pred[:, 1] * iz * iz)
+        dth = -jnp.einsum("ab,fbc->fac", R, hat_pj)        # [F, 3, 3]
+        J = jnp.concatenate([duv, jnp.einsum("fab,fbc->fac", duv, dth)], -1)
+        Jw = J * wf[:, None, None]
+        JTJ = jnp.einsum("fai,faj->ij", Jw, J)
+        JTr = jnp.einsum("fai,fa->i", Jw, r)
+        dx = jnp.linalg.solve(JTJ + 1e-8 * jnp.eye(6), -JTr)
+        return (R @ lie.so3_exp(dx[3:]), t + dx[:3]), None
+
+    (R, t), _ = jax.lax.scan(gn_step, (R, t), None, length=iters)
+    return R, t, score(R, t).sum()
 
 
 def _yaw_of(q):
