@@ -36,6 +36,8 @@ class SystemYamlConfig:
     ric: np.ndarray
     t_il: np.ndarray        # lidar->imu extrinsic
     r_il: np.ndarray
+    t_io: np.ndarray        # wheel->imu extrinsic (reference body_T_wheel)
+    r_io: np.ndarray
     use_lidar: bool
     use_gnss: bool
     use_wheel: bool
@@ -101,9 +103,12 @@ def load_config(path: str | Path) -> SystemYamlConfig:
     ric = mat("extrinsic_r_cam_imu", np.eye(3))
     t_il = mat("extrinsic_t_lidar_imu", np.zeros(3))
     r_il = mat("extrinsic_r_lidar_imu", np.eye(3))
+    t_io = mat("extrinsic_t_wheel_imu", np.zeros(3))
+    r_io = mat("extrinsic_r_wheel_imu", np.eye(3))
 
     return SystemYamlConfig(
         estimator=estimator, lio=lio,
         cam_intrinsics=cam, tic=tic, ric=ric, t_il=t_il, r_il=r_il,
+        t_io=t_io, r_io=r_io,
         use_lidar=bool(raw.get("lidar_enable", 1)),
         use_gnss=use_gnss, use_wheel=use_wheel, raw=raw)

@@ -95,11 +95,16 @@ def generate_m3dgr_log(
     gyr_meas = gyr_b + rng.normal(scale=imu_noise.gyr_n * np.sqrt(imu_rate),
                                   size=gyr_b.shape).astype(np.float32) * 0.1
 
-    # wheel: body-frame velocity
+    # wheel: odometer twist in the WHEEL frame (body_T_wheel lever arm +
+    # rotation applied — a real encoder reports vehicle-frame velocity, the
+    # reference's wheel topic semantics, rosNodeTest.cpp:147-167)
+    r_io = config.r_io
+    t_io = config.t_io
     wvel = np.zeros((n, 3), np.float32)
     for i in range(n):
         R_wb = _quat_to_mat(q_wb[i])
-        wvel[i] = R_wb.T @ traj.v[i]
+        v_o_body = R_wb.T @ traj.v[i] + np.cross(gyr_b[i], t_io)
+        wvel[i] = r_io.T @ v_o_body
 
     # scene + renderer (camera behind the real body_T_cam0)
     rects = make_room_scene(x=(-10, 14), y=(-7, 7), h=3.0, seed=seed)
@@ -169,6 +174,14 @@ class ReplayResult:
     n_switches: int
     outputs: list
     mesh_stats: dict | None = None
+    occ_prob: "np.ndarray | None" = None
+
+
+def _occ_cfg():
+    """Grid sized for the rendered room scene (±10 m × ±6 m)."""
+    from ..mapping.occupancy import GridConfig
+    return GridConfig(size_x=320, size_y=240, init_x=160, init_y=120,
+                      cell_size=0.1, max_range=12.0)
 
 
 def replay_m3dgr_log(
@@ -180,6 +193,7 @@ def replay_m3dgr_log(
     use_mesh: bool = False,
     mesh_ply: str | None = None,
     mesh_drain_every: int = 4,
+    use_occupancy: bool = False,
 ) -> ReplayResult:
     """Replay a log through the complete pipeline; returns trajectories.
 
@@ -214,11 +228,15 @@ def replay_m3dgr_log(
     gf = GroundFusion(SystemConfig(vio=est_cfg, lio=config.lio,
                                    use_lidar=use_lidar and config.use_lidar,
                                    use_mesh=use_mesh,
+                                   use_occupancy_grid=use_occupancy,
+                                   occupancy=_occ_cfg() if use_occupancy
+                                   else None,
                                    mesh_drain_every=mesh_drain_every,
                                    mesh_intrinsics=(
                                        raw_cam["fx"], raw_cam["fy"],
                                        raw_cam["cx"], raw_cam["cy"])),
-                      tic=config.tic, ric=config.ric)
+                      tic=config.tic, ric=config.ric,
+                      tio=config.t_io, rio=config.r_io)
 
     # ingest state
     imu_t, imu_acc, imu_gyr = [], [], []
@@ -328,6 +346,7 @@ def replay_m3dgr_log(
     def gt_at(ts):
         return np.stack([np.interp(ts, gt_t, gt_p[:, k]) for k in range(3)], -1)
 
+    occ_prob = gf.occ_grid.prob() if gf.occ_grid is not None else None
     mesh_stats = None
     if gf.mesher is not None:
         mesh_stats = gf.mesher.stats()
@@ -342,4 +361,5 @@ def replay_m3dgr_log(
     return ReplayResult(
         t=est_t, est_p=est_p, gt_p=gt_at(est_t) if len(est_t) else est_p,
         est_p_vio=vio_p, gt_p_vio=gt_at(vio_ts) if len(vio_ts) else vio_p,
-        n_switches=n_switch, outputs=outputs, mesh_stats=mesh_stats)
+        n_switches=n_switch, outputs=outputs, mesh_stats=mesh_stats,
+        occ_prob=occ_prob)

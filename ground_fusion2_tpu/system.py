@@ -57,6 +57,11 @@ class SystemConfig:
     mesh: object | None = None                # MeshConfig
     mesh_intrinsics: tuple | None = None      # (fx, fy, cx, cy) for texture
     mesh_drain_every: int = 1                 # retriangulation cadence
+    # 2D occupancy grid (support_files/grid_mapping; prior-map load =
+    # LOAD_GRID_MAP, pose_graph_node.cpp:861-900)
+    use_occupancy_grid: bool = False
+    occupancy: object | None = None           # GridConfig
+    load_grid_map: str | None = None          # prior PGM path
     # camera intrinsics for keyframe pixel projection (loop closure BRIEF)
     cam_intr: tuple = (460.0, 460.0, 320.0, 240.0)
     kf_cell: int = 20      # fresh keyframe corner grid (reference detects
@@ -82,12 +87,14 @@ class GroundFusion:
     LIO's external fallback; the LIO's switch decides authority.
     """
 
-    def __init__(self, cfg: SystemConfig, tic=None, ric=None):
+    def __init__(self, cfg: SystemConfig, tic=None, ric=None,
+                 tio=None, rio=None):
         from .runtime.telemetry import Telemetry
 
         self.cfg = cfg
         self._tic, self._ric = tic, ric
-        self.vio = VioEstimator(cfg.vio, tic=tic, ric=ric)
+        self._tio, self._rio = tio, rio
+        self.vio = VioEstimator(cfg.vio, tic=tic, ric=ric, tio=tio, rio=rio)
         self.lio = LidarOdometry(cfg.lio) if cfg.use_lidar else None
         self.latest_vio: VioOutput | None = None
         self.trajectory: list[FusedOutput] = []
@@ -114,12 +121,21 @@ class GroundFusion:
             self.mesher = OnlineMesher(cfg.mesh or MeshConfig(),
                                        intrinsics=cfg.mesh_intrinsics,
                                        drain_every=cfg.mesh_drain_every)
+        self.occ_grid = None
+        if cfg.use_occupancy_grid:
+            from .mapping.occupancy import GridConfig, OccupancyGrid
+            if cfg.load_grid_map:
+                self.occ_grid = OccupancyGrid.load(cfg.load_grid_map,
+                                                   cfg.occupancy)
+            else:
+                self.occ_grid = OccupancyGrid(cfg.occupancy or GridConfig())
 
     def restart(self):
         """External estimator restart (the reference's ``/vins_restart``
         topic, ``rosNodeTest.cpp:621-636``): rebuild both estimators from
         scratch; the telemetry/trajectory history is preserved."""
-        self.vio = VioEstimator(self.cfg.vio, tic=self._tic, ric=self._ric)
+        self.vio = VioEstimator(self.cfg.vio, tic=self._tic, ric=self._ric,
+                                tio=self._tio, rio=self._rio)
         self.lio = LidarOdometry(self.cfg.lio) if self.cfg.use_lidar else None
         self.latest_vio = None
         self.telemetry.event(self.trajectory[-1].t if self.trajectory
@@ -242,6 +258,10 @@ class GroundFusion:
                 p_vio=None if ext is None else np.asarray(ext[0]),
                 degenerate=out.degenerate, switched=out.switched,
                 source="fused"))
+            if self.occ_grid is not None and self.lio.last_cloud is not None:
+                p_w, m = self.lio.last_cloud
+                self.occ_grid.update(np.asarray(out.p_fused)[:2],
+                                     np.asarray(p_w), np.asarray(m) > 0.5)
             if self.mesher is not None and self.lio.last_cloud is not None:
                 p_w, m = self.lio.last_cloud
                 kwargs = {}
@@ -270,6 +290,11 @@ class GroundFusion:
         if self.mesher is not None:
             return self.mesher.export_ply(path)
         return None
+
+    def save_grid_map(self, img_path: str, cfg_path: str):
+        """Occupancy-map export (map_server PGM + YAML)."""
+        if self.occ_grid is not None:
+            self.occ_grid.save(img_path, cfg_path)
 
     def save_telemetry(self, out_dir: str):
         """Write every pose stream (TUM), tick statistics (JSONL), events,

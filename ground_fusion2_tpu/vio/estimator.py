@@ -153,12 +153,23 @@ class _IntervalBuffers:
 
 @jax.jit
 def _preintegrate_all(acc, gyr, wvel, dt, mask, ba, bg, six, siy, siw,
-                      imu_noise: ImuNoise, wheel_noise: WheelNoise):
-    """Re-preintegrate every window interval at the current biases."""
+                      imu_noise: ImuNoise, wheel_noise: WheelNoise,
+                      qio=None):
+    """Re-preintegrate every window interval at the current biases.
+
+    ``qio``: wheel←body extrinsic rotation. Wheel velocity samples arrive in
+    the WHEEL frame (the odometer's own twist); the gyro channel is the IMU's
+    (body frame, the reference's gyro-replaces-wheel-yaw trick,
+    ``rosNodeTest.cpp:96-204``) and is rotated into the wheel frame here —
+    with the real M3DGR mount the body frame is camera-convention
+    (z forward), so skipping this rotation mis-axes the wheel preint."""
     pre = jax.vmap(lambda a, g, d, m, b1, b2: preintegrate(
         a, g, d, b1, b2, imu_noise, mask=m))(acc, gyr, dt, mask, ba, bg)
+    gyr_o = gyr
+    if qio is not None:
+        gyr_o = gyr @ lie.quat_to_mat(qio)     # R(qio)ᵀ g, batched
     wpre = jax.vmap(lambda v, g, d, m: preintegrate_wheel(
-        v, g, d, six, siy, siw, wheel_noise, mask=m))(wvel, gyr, dt, mask)
+        v, g, d, six, siy, siw, wheel_noise, mask=m))(wvel, gyr_o, dt, mask)
     return pre, wpre, imu_sqrt_info(pre.cov), imu_sqrt_info(wpre.cov)
 
 
@@ -177,7 +188,8 @@ def _drop_second_newest(x: WindowState) -> WindowState:
 
 
 class VioEstimator:
-    def __init__(self, cfg: EstimatorConfig, tic=None, ric=None):
+    def __init__(self, cfg: EstimatorConfig, tic=None, ric=None,
+                 tio=None, rio=None):
         self.cfg = cfg
         F = cfg.num_feats
         self.layout = WindowLayout(F)
@@ -187,6 +199,13 @@ class VioEstimator:
         if ric is not None:
             q = lie.mat_to_quat(jnp.asarray(ric, jnp.float32))
             self.state = self.state._replace(qic=q)
+        # wheel extrinsic (reference RIO/TIO, body_T_wheel): the plane /
+        # motion / wheel factors act in the WHEEL frame through qio/tio
+        if tio is not None:
+            self.state = self.state._replace(tio=jnp.asarray(tio, jnp.float32))
+        if rio is not None:
+            self.state = self.state._replace(
+                qio=lie.mat_to_quat(jnp.asarray(rio, jnp.float32)))
         self.fw = fwin.FeatureWindow.empty(F)
         self.rho_init = jnp.zeros((F,), jnp.float32)
         self.bufs = _IntervalBuffers(NUM_FRAMES - 1)
@@ -217,8 +236,9 @@ class VioEstimator:
                       wheel_vel: np.ndarray | None = None,
                       gnss_meas: list | None = None) -> VioOutput:
         """One tick. ``imu`` = (acc [n,3], gyr [n,3], dt [n-? actually n])
-        samples covering (t_prev, t]; ``wheel_vel`` [n, 3] body-frame
-        velocity aligned with the IMU samples (None → zeros)."""
+        samples covering (t_prev, t]; ``wheel_vel`` [n, 3] WHEEL-frame
+        odometer velocity aligned with the IMU samples (None → zeros);
+        the body_T_wheel extrinsic (state qio/tio) relates it to the body."""
         cfg = self.cfg
         W = NUM_FRAMES
         acc, gyr, dts = imu
@@ -437,7 +457,7 @@ class VioEstimator:
             jnp.asarray(self.bufs.mask),
             self.state.ba[:-1], self.state.bg[:-1],
             self.state.six, self.state.siy, self.state.siw,
-            self.cfg.imu_noise, self.cfg.wheel_noise)
+            self.cfg.imu_noise, self.cfg.wheel_noise, qio=self.state.qio)
 
     def _detectors(self, pre, wpre):
         """Degradation detector suite on the latest interval, mirroring the
@@ -454,7 +474,9 @@ class VioEstimator:
         cfg = self.cfg
         k = -1
         dp_imu = np.asarray(pre.dp[k])
-        dp_whl = np.asarray(wpre.dp[k])
+        # wheel delta is in the wheel frame — compare in the body frame
+        R_io = np.asarray(lie.quat_to_mat(self.state.qio))
+        dp_whl = R_io @ np.asarray(wpre.dp[k])
         anomaly = bool(cfg.use_wheel
                        and np.linalg.norm(dp_whl - dp_imu) > cfg.wheel_anomaly_thresh
                        and self.imu_valid[k] > 0)

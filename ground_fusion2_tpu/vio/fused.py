@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import lie
 from ..frontend import klt
 from ..frontend.clahe import clahe
 from ..frontend.dynamic import DynMaskConfig, dynamic_mask
@@ -229,7 +230,8 @@ def _detectors(c: FusedCarry, pre, wpre, k, s: FusedStatics):
     ``estimator.cpp:681-705, 2190-2335``): returns traced
     (anomaly, stationary). ``k`` = latest interval index (traced)."""
     dp_imu = pre.dp[k]
-    dp_whl = wpre.dp[k]
+    # wheel delta is in the wheel frame — compare in the body frame
+    dp_whl = lie.quat_rotate(c.state.qio, wpre.dp[k])
     anomaly = (jnp.linalg.norm(dp_whl - dp_imu) > s.wheel_anomaly_thresh) \
         & (c.imu_valid[k] > 0) if s.use_wheel else jnp.asarray(False)
     wheel_static = jnp.linalg.norm(dp_whl) < s.stationary_dp \
@@ -327,7 +329,7 @@ def _solve_tick(c: FusedCarry, obs: fwin.FrameObs,
     pre, wpre, sinfo, wsinfo = _preintegrate_all(
         c.acc, c.gyr, c.wvel, c.dt, c.smask,
         state.ba[:-1], state.bg[:-1], state.six, state.siy, state.siw,
-        imu_noise, wheel_noise)
+        imu_noise, wheel_noise, qio=state.qio)
 
     # 5. detectors (traced)
     anomaly, stationary = _detectors(c, pre, wpre, k, s)
@@ -504,7 +506,8 @@ class FusedVio:
     """
 
     def __init__(self, cfg: EstimatorConfig, tracker_cfg, cam,
-                 tic=None, ric=None, depth_stride: int = 1,
+                 tic=None, ric=None, tio=None, rio=None,
+                 depth_stride: int = 1,
                  pipelined: bool = False, auto_dyn_mask: bool = False,
                  dyn_cfg: DynMaskConfig | None = None):
         """``depth_stride``: upload the depth image decimated by this factor
@@ -517,10 +520,11 @@ class FusedVio:
         self.tcfg = tracker_cfg
         self.cam = cam
         self._tic, self._ric = tic, ric
+        self._tio, self._rio = tio, rio
         self.depth_stride = depth_stride
         self.pipelined = pipelined
         self._inflight = None      # (t, rec_device) awaiting readback
-        self.legacy = VioEstimator(cfg, tic=tic, ric=ric)
+        self.legacy = VioEstimator(cfg, tic=tic, ric=ric, tio=tio, rio=rio)
         self.tracker = FeatureTracker(tracker_cfg, cam)
         self.layout = self.legacy.layout
         self.statics = FusedStatics(
@@ -615,7 +619,8 @@ class FusedVio:
         pose (reference clearState semantics, trajectory-continuous)."""
         col = min(self.frame_count, NUM_FRAMES) - 1
         st = jax.tree.map(np.asarray, self.carry.state)
-        self.legacy = VioEstimator(self.cfg, tic=self._tic, ric=self._ric)
+        self.legacy = VioEstimator(self.cfg, tic=self._tic, ric=self._ric,
+                                   tio=self._tio, rio=self._rio)
         keep = lambda a: np.tile(a[col][None],
                                  (NUM_FRAMES,) + (1,) * (a.ndim - 1))
         self.legacy.state = self.legacy.state._replace(

@@ -29,7 +29,7 @@ def m3dgr_run(tmp_path_factory):
     generate_m3dgr_log(path, cfg, duration=8.0, with_lidar=True, seed=0)
     ply = str(d / "mesh.ply")
     res = replay_m3dgr_log(path, cfg, num_feats=64, use_lidar=True,
-                           use_mesh=True, mesh_ply=ply)
+                           use_mesh=True, mesh_ply=ply, use_occupancy=True)
     return res, ply
 
 
@@ -70,3 +70,25 @@ def test_m3dgr_sim_mesh_artifact(m3dgr_run):
     body = lines[hdr_end + 1:hdr_end + 1 + nv]
     rgb = np.asarray([[int(x) for x in ln.split()[3:6]] for ln in body])
     assert (rgb.sum(axis=1) > 0).mean() > 0.05, "mesh untextured"
+
+
+@pytest.mark.slow
+def test_m3dgr_sim_occupancy_grid(m3dgr_run):
+    """System-level 2D occupancy mapping during the SAME replay
+    (support_files/grid_mapping; grid publish pose_graph_node.cpp:861-900):
+    driven space is carved free, walls accumulate occupied cells."""
+    res, _ = m3dgr_run
+    p = res.occ_prob
+    assert p is not None and p.shape == (240, 320)
+    # cells under the actual trajectory must be free (robot drove there)
+    free_hits = total = 0
+    for xy in res.est_p[::5]:
+        ix, iy = int(xy[0] / 0.1) + 160, int(xy[1] / 0.1) + 120
+        if 0 <= ix < 320 and 0 <= iy < 240:
+            total += 1
+            free_hits += p[iy, ix] < 0.35
+    assert total > 5 and free_hits / total > 0.8, (free_hits, total)
+    # walls exist: a meaningful number of confidently-occupied cells
+    assert (p > 0.65).sum() > 100, (p > 0.65).sum()
+    # most of the grid is untouched prior (bounded room in a big grid)
+    assert (np.abs(p - 0.5) < 1e-3).mean() > 0.5

@@ -48,3 +48,73 @@ def test_plane_motion_reduce_z_drift():
     assert z_err_on < z_err_off + 1e-6, (z_err_on, z_err_off)
     assert z_err_on < 0.8 * max(z_err_off, 1e-4), (
         f"plane+motion z-drift {z_err_on:.4f} vs off {z_err_off:.4f}")
+
+
+def test_wheel_extrinsic_frame_conventions():
+    """The wheel extrinsic (body_T_wheel) must route through state qio/tio:
+    with a camera-convention body frame (z forward, the real M3DGR mount),
+    wheel-frame measurements + rotated IMU gyro preintegrate to deltas the
+    wheel factor zeroes at ground truth (round-3 regression: the extrinsic
+    was parsed but consumed by nobody, so plane/motion pinned the FORWARD
+    axis and m3dgr VIO ATE blew up 0.03 -> 0.79)."""
+    import jax
+    import jax.numpy as jnp
+    from ground_fusion2_tpu.core import lie
+    from ground_fusion2_tpu.factors.vio_factors import wheel_residuals
+    from ground_fusion2_tpu.sensors.wheel_preint import (WheelNoise,
+                                                         preintegrate_wheel)
+    from ground_fusion2_tpu.vio.state import NUM_FRAMES, WindowState
+
+    # camera-convention body: body z = vehicle x (forward), body x = -veh y
+    R_vb = np.array([[0, 0, 1.0], [-1, 0, 0], [0, -1, 0]])
+    R_bo = R_vb.T                       # wheel frame == vehicle frame
+    t_bo = np.array([0.3, 0.0, 0.1])
+
+    # vehicle drives a planar arc: yaw rate w, forward speed s
+    w, s, dt, n = 0.4, 1.0, 0.02, 25
+    ts = np.arange(n + 1) * dt
+    yaw = w * ts
+    p_v = np.stack([s / w * np.sin(yaw), s / w * (1 - np.cos(yaw)),
+                    np.zeros_like(yaw)], -1)
+    vel_v = np.stack([s * np.cos(yaw), s * np.sin(yaw),
+                      np.zeros_like(yaw)], -1)
+
+    def R_wv(k):
+        c, si = np.cos(yaw[k]), np.sin(yaw[k])
+        return np.array([[c, -si, 0], [si, c, 0], [0, 0, 1.0]])
+
+    gyr_b = np.tile(R_vb.T @ [0, 0, w], (n + 1, 1))       # body-frame gyro
+    # odometer: wheel-origin velocity in the wheel frame (p_v IS the wheel
+    # origin path here, so no lever-arm term)
+    wvel = np.zeros((n + 1, 3), np.float32)
+    for k in range(n + 1):
+        R_wb = R_wv(k) @ R_vb
+        wvel[k] = R_bo.T @ (R_wb.T @ vel_v[k])
+
+    gyr_o = gyr_b @ R_bo                # R_bo^T g (as _preintegrate_all)
+    pre = preintegrate_wheel(jnp.asarray(wvel, jnp.float32),
+                             jnp.asarray(gyr_o, jnp.float32),
+                             jnp.full((n,), dt, jnp.float32),
+                             1.0, 1.0, 1.0, WheelNoise())
+
+    # window state at ground truth; wheel origin sits at p_v
+    W = NUM_FRAMES
+    qs = [np.asarray(lie.mat_to_quat(jnp.asarray(R_wv(k) @ R_vb,
+                                                 jnp.float32)))
+          for k in (0, n)]
+    p_b = [p_v[k] - (R_wv(k) @ R_vb) @ t_bo for k in (0, n)]
+    x = WindowState.identity(8)._replace(
+        p=jnp.asarray(np.tile(p_b[1], (W, 1)), jnp.float32
+                      ).at[0].set(jnp.asarray(p_b[0], jnp.float32)),
+        q=jnp.asarray(np.tile(qs[1], (W, 1)), jnp.float32
+                      ).at[0].set(jnp.asarray(qs[0], jnp.float32)),
+        qio=lie.mat_to_quat(jnp.asarray(R_bo, jnp.float32)),
+        tio=jnp.asarray(t_bo, jnp.float32))
+
+    batched = jax.tree_util.tree_map(
+        lambda a: jnp.tile(jnp.asarray(a)[None],
+                           (W - 1,) + (1,) * np.ndim(a)), pre)
+    valid = jnp.zeros((W - 1,)).at[0].set(1.0)
+    res, wts = wheel_residuals(
+        x, batched, jnp.tile(jnp.eye(6)[None], (W - 1, 1, 1)), valid)
+    assert np.abs(np.asarray(res[0])).max() < 5e-3, np.asarray(res[0])
