@@ -172,3 +172,74 @@ class Mei(NamedTuple):
         zs = (xi + jnp.sqrt(jnp.maximum(disc, 0.0))) / (1.0 + r2)
         ray = jnp.concatenate([zs[..., None] * xy, (zs - xi)[..., None]], axis=-1)
         return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+
+class Scaramuzza(NamedTuple):
+    """Scaramuzza/OCamCalib omnidirectional model (camodocal
+    ``ScaramuzzaCamera``): cam→world is the polynomial
+    ``z(ρ) = a0 + a2 ρ² + a3 ρ³ + a4 ρ⁴`` over the centered sensor radius ρ
+    (affine [[c, d], [e, 1]] + principal point); world→cam inverts it with
+    Newton on the ray angle (camodocal fits a separate inverse polynomial —
+    Newton avoids carrying two mutually-inconsistent fits)."""
+
+    cx: jax.Array
+    cy: jax.Array
+    a0: jax.Array
+    a2: jax.Array = 0.0
+    a3: jax.Array = 0.0
+    a4: jax.Array = 0.0
+    c: jax.Array = 1.0
+    d: jax.Array = 0.0
+    e: jax.Array = 0.0
+
+    @staticmethod
+    def create(cx, cy, a0, a2=0.0, a3=0.0, a4=0.0, c=1.0, d=0.0, e=0.0,
+               dtype=jnp.float32):
+        vals = [jnp.asarray(v, dtype=dtype)
+                for v in (cx, cy, a0, a2, a3, a4, c, d, e)]
+        return Scaramuzza(*vals)
+
+    def _poly(self, rho):
+        r2 = rho * rho
+        return self.a0 + r2 * (self.a2 + rho * (self.a3 + rho * self.a4))
+
+    def _dpoly(self, rho):
+        return rho * (2 * self.a2 + rho * (3 * self.a3 + rho * 4 * self.a4))
+
+    def lift(self, uv: jax.Array) -> jax.Array:
+        """Pixel → unit ray (camodocal liftProjective: affine-undo + poly)."""
+        du = uv[..., 0] - self.cx
+        dv = uv[..., 1] - self.cy
+        inv_det = 1.0 / (self.c - self.d * self.e)
+        mx = inv_det * (du - self.d * dv)
+        my = inv_det * (-self.e * du + self.c * dv)
+        rho = jnp.sqrt(mx * mx + my * my)
+        ray = jnp.stack([mx, my, -self._poly(rho)], axis=-1)
+        return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+    def project(self, p: jax.Array, iters: int = 12
+                ) -> tuple[jax.Array, jax.Array]:
+        """3D point → pixel: solve ρ with Newton on
+        ``-poly(ρ) / ρ = z / r_xy`` (the ray-direction match), then apply
+        the affine + principal point."""
+        r_xy = jnp.linalg.norm(p[..., :2], axis=-1)
+        r_safe = jnp.maximum(r_xy, 1e-9)
+        k = p[..., 2] / r_safe              # target z/ρ slope
+
+        def body(_, rho):
+            f = -self._poly(rho) - k * rho
+            df = -self._dpoly(rho) - k
+            step = f / jnp.where(jnp.abs(df) > 1e-9, df,
+                                 jnp.sign(df) * 1e-9 + 1e-12)
+            return jnp.clip(rho - step, 1e-6, 1e6)
+
+        rho0 = jnp.maximum(-self.a0, 1.0)    # ≈ focal length in pixels
+        rho = jax.lax.fori_loop(0, iters, body,
+                                jnp.broadcast_to(rho0, k.shape))
+        mx = p[..., 0] / r_safe * rho
+        my = p[..., 1] / r_safe * rho
+        u = self.c * mx + self.d * my + self.cx
+        v = self.e * mx + my + self.cy
+        resid = jnp.abs(-self._poly(rho) - k * rho)
+        valid = (r_xy > 1e-9) & (resid < 1e-3 * jnp.maximum(rho, 1.0))
+        return jnp.stack([u, v], axis=-1), valid

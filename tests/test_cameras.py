@@ -47,3 +47,34 @@ def test_behind_camera_invalid():
     cam = Pinhole.create(400.0, 400.0, 320.0, 240.0)
     _, valid = cam.project(jnp.array([0.0, 0.0, -1.0]))
     assert not bool(valid)
+
+
+def test_scaramuzza_pinhole_limit(rng):
+    """a2=a3=a4=0 degenerates to a pinhole with focal -a0."""
+    from ground_fusion2_tpu.core.cameras import Scaramuzza
+    cam = Scaramuzza.create(cx=320.0, cy=240.0, a0=-400.0)
+    p = jnp.asarray(rng.normal(size=(64, 3)) * [1, 1, 0.3] + [0, 0, 3.0],
+                    jnp.float32)
+    uv, ok = cam.project(p)
+    u_ref = 400.0 * p[:, 0] / p[:, 2] + 320.0
+    v_ref = 400.0 * p[:, 1] / p[:, 2] + 240.0
+    np.testing.assert_allclose(np.asarray(uv[:, 0]), np.asarray(u_ref),
+                               atol=0.01)
+    np.testing.assert_allclose(np.asarray(uv[:, 1]), np.asarray(v_ref),
+                               atol=0.01)
+    assert np.asarray(ok).all()
+
+
+def test_scaramuzza_roundtrip(rng):
+    """Full polynomial + affine: lift(project(p)) returns the ray of p."""
+    from ground_fusion2_tpu.core.cameras import Scaramuzza
+    cam = Scaramuzza.create(cx=321.5, cy=243.2, a0=-380.0, a2=6e-4,
+                            a3=-9e-7, a4=3e-10, c=1.001, d=3e-4, e=-2e-4)
+    p = jnp.asarray(rng.normal(size=(128, 3)) * [1.2, 1.2, 0.5]
+                    + [0, 0, 2.5], jnp.float32)
+    uv, ok = cam.project(p)
+    assert np.asarray(ok).mean() > 0.95
+    ray = cam.lift(uv)
+    p_dir = np.asarray(p / jnp.linalg.norm(p, axis=-1, keepdims=True))
+    cos = np.sum(np.asarray(ray) * p_dir, axis=-1)
+    assert (cos[np.asarray(ok)] > 1 - 1e-5).all(), cos.min()
