@@ -114,9 +114,10 @@ def bench_lio(n_scans=20):
         scans.append((traj.t[i1], pts, alpha, valid, imu))
 
     def run_once():
-        lio = LidarOdometry(LioConfig())
+        lio = LidarOdometry(LioConfig(), pipelined=True)
         for (t, pts, alpha, valid, imu) in scans:
             lio.process_scan(t, pts, alpha, valid, imu)
+        lio.flush()
 
     run_once()
     t0 = time.perf_counter()

@@ -87,9 +87,17 @@ def ct_icp(
     dtype = pts_body.dtype
     K = pts_body.shape[0]
 
+    # candidate gather ONCE at the predicted pose (searchsorted + the big
+    # [K, 27*gk] gather are the expensive half of the neighbor search);
+    # each iteration re-ranks the same candidates — per-iteration pose
+    # deltas are cm-scale vs the 0.2 m of voxel padding already gathered
+    p_w0 = transform_points(pose0, pts_body, alpha)
+    cand, cand_mask = vm.gather_candidates(vmap, p_w0, map_cfg)
+
     def assoc(pose):
         p_w = transform_points(pose, pts_body, alpha)
-        neigh, nmask = vm.knn_gather(vmap, p_w, map_cfg)
+        neigh, nmask = vm.knn_from_candidates(p_w, cand, cand_mask,
+                                              map_cfg.knn)
         normal, centroid, a2d, valid = vm.fit_planes(neigh, nmask)
         dist = jnp.abs(jnp.sum((p_w - centroid) * normal, axis=-1))
         w = (kp_mask

@@ -15,6 +15,14 @@ there for C0-continuity of the published trajectory):
     the current fused pose; publish ``external ⊕ offset`` while degenerate;
   * exiting: latch the offset between the raw LIO pose and the fused pose;
     publish ``lio ⊕ offset`` thereafter.
+
+Two execution paths share the same math:
+
+  * **fused** (default): the whole tick is ONE compiled device step
+    (:mod:`.fused`), switch logic traced — one host→device buffer and one
+    record readback per sweep (optionally pipelined, lagging one scan);
+  * **legacy**: host-orchestrated multi-dispatch path, kept as the
+    equivalence oracle for tests.
 """
 
 from __future__ import annotations
@@ -22,12 +30,14 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import lie
 from . import ct_icp as ci
 from . import eskf as ekf
+from . import fused as fu
 from . import voxel_map as vm
 
 
@@ -53,6 +63,8 @@ class LioConfig:
     static_init_samples: int = 100   # ~0.5 s at 200 Hz (reference uses 1 s)
     insert_subsample: int = 1
     g_norm: float = 9.81
+    scan_buffer: int = 4096          # fixed device scan size (fused path)
+    evict_every: int = 20
 
 
 class LioOutput(NamedTuple):
@@ -68,16 +80,28 @@ class LioOutput(NamedTuple):
 
 
 class LidarOdometry:
-    def __init__(self, cfg: LioConfig):
+    def __init__(self, cfg: LioConfig, fused: bool = True,
+                 pipelined: bool = False):
+        """``fused``: single-dispatch device tick (default). ``pipelined``:
+        overlap the record readback with the next tick's device work —
+        outputs lag one scan; call :meth:`flush` at sequence end."""
         self.cfg = cfg
-        self.eskf = ekf.EskfState.initial(cfg.g_norm)
-        self.vmap = vm.VoxelMap.empty(cfg.map_cfg)
+        self.fused = fused
+        self.pipelined = pipelined and fused
+        self._eskf = ekf.EskfState.initial(cfg.g_norm)
+        self._vmap = vm.VoxelMap.empty(cfg.map_cfg)
         self.initialized = False
         self.frame_idx = 0
         self.last_cloud = None   # (p_world [N,3], mask [N]) of the last scan
+        self.dispatch_count = 0  # fused device dispatches (for tests)
         self._init_acc: list[np.ndarray] = []
         self._init_gyr: list[np.ndarray] = []
-        # switch state (mirrors reference flags)
+        self._carry: fu.LioCarry | None = None
+        self._inflight = None    # (t, rec_dev) awaiting readback (pipelined)
+        self._statics = fu.LioStatics(
+            map_cfg=cfg.map_cfg, icp_cfg=cfg.icp_cfg, eskf_opt=cfg.eskf_opt,
+            max_keypoints=cfg.max_keypoints, evict_every=cfg.evict_every)
+        # switch state (mirrors reference flags; legacy/host path)
         self.has_entered_degenerate = False
         self.first_is_degenerate = False   # first-ever frames were degenerate
         self.was_degenerate = False
@@ -90,6 +114,26 @@ class LidarOdometry:
         self.last_t_ext = np.zeros(3)
         self.q_fused = np.array([1.0, 0, 0, 0])
         self.t_fused = np.zeros(3)
+
+
+    # carry-aware views: once the fused carry exists it owns the live
+    # filter/map state; these keep the legacy attribute API working
+    # (tests, save paths) without forcing device syncs per tick.
+    @property
+    def eskf(self):
+        return self._carry.eskf if self._carry is not None else self._eskf
+
+    @eskf.setter
+    def eskf(self, v):
+        self._eskf = v
+
+    @property
+    def vmap(self):
+        return self._carry.vmap if self._carry is not None else self._vmap
+
+    @vmap.setter
+    def vmap(self, v):
+        self._vmap = v
 
     # ------------------------------------------------------------------
     def process_scan(self, t: float, pts_body: np.ndarray, alpha: np.ndarray,
@@ -107,22 +151,90 @@ class LidarOdometry:
             if len(self._init_acc) >= cfg.static_init_samples:
                 self._static_init(external_pose)
                 self._insert_scan(pts_body, alpha, mask,
-                                  self.eskf.q, self.eskf.p,
-                                  self.eskf.q, self.eskf.p)
+                                  self._eskf.q, self._eskf.p,
+                                  self._eskf.q, self._eskf.p)
                 self.initialized = True
                 self.frame_idx = 1
                 return self._output(t, False, "")
             return None
 
+        if self.fused:
+            return self._process_scan_fused(t, pts_body, alpha, mask, imu,
+                                            external_pose)
+        return self._process_scan_legacy(t, pts_body, alpha, mask, imu,
+                                         external_pose)
+
+    # -- fused single-dispatch path --------------------------------------
+    def _build_carry(self) -> fu.LioCarry:
+        return fu.LioCarry(
+            eskf=self._eskf, vmap=self._vmap,
+            sw=fu.SwitchCarry.initial(self.q_fused, self.t_fused,
+                                      self.last_q_ext, self.last_t_ext),
+            frame_idx=jnp.asarray(self.frame_idx, jnp.int32))
+
+    def _process_scan_fused(self, t, pts_body, alpha, mask, imu,
+                            external_pose):
+        if self._carry is None:
+            self._carry = self._build_carry()
+        acc, gyr, dts = imu
+        if external_pose is not None:
+            ext_p = np.asarray(external_pose[0], np.float32)
+            ext_q = np.asarray(external_pose[1], np.float32)
+            ext_valid = 1.0
+        else:
+            ext_p = np.zeros(3, np.float32)
+            ext_q = np.array([1, 0, 0, 0], np.float32)
+            ext_valid = 0.0
+        buf = fu.pack_scan(pts_body, alpha, mask, acc, gyr, dts,
+                           ext_p, ext_q, ext_valid, self.cfg.scan_buffer)
+        self._carry, rec, p_w, m_w = fu.lidar_tick(
+            self._statics, self.cfg.scan_buffer, self._carry, buf)
+        self.dispatch_count += 1
+        self.frame_idx += 1
+        self.last_cloud = (p_w, m_w)
+        if self.pipelined:
+            prev, self._inflight = self._inflight, (t, rec)
+            if prev is None:
+                return None
+            return self._emit_fused(*prev)
+        return self._emit_fused(t, rec)
+
+    def _emit_fused(self, t, rec_dev) -> LioOutput:
+        r = fu.LioRecord.unpack(np.asarray(rec_dev))   # ONE readback
+        # mirror the host switch state so save/restart see current values
+        self.t_fused, self.q_fused = r.p_fused.copy(), r.q_fused.copy()
+        self.last_t_lo, self.last_q_lo = r.p_lio.copy(), r.q_lio.copy()
+        self.was_degenerate = r.degenerate
+        if r.switched == "to_vio":
+            self.has_entered_degenerate = True
+        return LioOutput(
+            t=t, p_fused=r.p_fused, q_fused=r.q_fused,
+            p_lio=r.p_lio, q_lio=r.q_lio, degenerate=r.degenerate,
+            switched=r.switched, n_corr=r.n_corr, sigma=r.sigma)
+
+    def flush(self) -> LioOutput | None:
+        """Drain the pipelined in-flight record (call at sequence end)."""
+        if self._inflight is None:
+            return None
+        t, rec = self._inflight
+        self._inflight = None
+        return self._emit_fused(t, rec)
+
+    # -- legacy host-orchestrated path (equivalence oracle) --------------
+    def _process_scan_legacy(self, t, pts_body, alpha, mask, imu,
+                             external_pose):
+        cfg = self.cfg
+        acc, gyr, dts = imu
+
         # --- ESKF predict through the sweep -----------------------------
-        q_begin, t_begin = self.eskf.q, self.eskf.p
+        q_begin, t_begin = self._eskf.q, self._eskf.p
         n = len(dts)
         m = np.ones((n,), np.float32)
-        self.eskf, _ = ekf.predict_batch(
-            self.eskf, jnp.asarray(acc[:n], jnp.float32),
+        self._eskf, _ = ekf.predict_batch(
+            self._eskf, jnp.asarray(acc[:n], jnp.float32),
             jnp.asarray(gyr[:n], jnp.float32), jnp.asarray(dts, jnp.float32),
             jnp.asarray(m), cfg.eskf_opt)
-        q_end_pred, t_end_pred = self.eskf.q, self.eskf.p
+        q_end_pred, t_end_pred = self._eskf.q, self._eskf.p
 
         # --- CT-ICP ------------------------------------------------------
         kp, ka, km = self._keypoints(pts_body, alpha, mask)
@@ -131,7 +243,7 @@ class LidarOdometry:
         res = ci.ct_icp(pose0, jnp.asarray(kp, jnp.float32),
                         jnp.asarray(ka, jnp.float32),
                         jnp.asarray(km, jnp.float32),
-                        cfg.icp_cfg, cfg.map_cfg, self.vmap, pred=pose0)
+                        cfg.icp_cfg, cfg.map_cfg, self._vmap, pred=pose0)
 
         degenerate = bool(res.degenerate)
         q_lo = np.asarray(res.pose.q_end)
@@ -139,15 +251,15 @@ class LidarOdometry:
 
         # ESKF observes the LIO pose (reference ObserveSE3(pose_lo, 1e-2, 1e-2))
         if not degenerate:
-            self.eskf = ekf.observe_se3(
-                self.eskf, jnp.asarray(t_lo, jnp.float32),
+            self._eskf = ekf.observe_se3(
+                self._eskf, jnp.asarray(t_lo, jnp.float32),
                 jnp.asarray(q_lo, jnp.float32), 1e-2, 1e-2)
         elif external_pose is not None:
             # when degenerate, anchor the filter with the external pose to
             # keep prediction bounded (reference keeps publishing external)
             p_ext, q_ext = external_pose
-            self.eskf = ekf.observe_se3(
-                self.eskf, jnp.asarray(p_ext, jnp.float32),
+            self._eskf = ekf.observe_se3(
+                self._eskf, jnp.asarray(p_ext, jnp.float32),
                 jnp.asarray(q_ext, jnp.float32), 1e-1, 1e-1)
 
         switched = self._switch(degenerate, q_lo, t_lo, external_pose)
@@ -156,14 +268,14 @@ class LidarOdometry:
         # recenter the packed voxel codes when the pose nears the 10-bit
         # packing boundary (unbounded extent; reference lasermap_fov_segment
         # keeps its map local via 500 m eviction, lidarodom.cpp:1268)
-        if vm.needs_recenter(self.vmap, t_lo, cfg.map_cfg):
-            self.vmap = vm.recenter(self.vmap, jnp.asarray(t_lo, jnp.float32),
+        if vm.needs_recenter(self._vmap, t_lo, cfg.map_cfg):
+            self._vmap = vm.recenter(self._vmap, jnp.asarray(t_lo, jnp.float32),
                                     cfg.map_cfg)
         self._insert_scan(pts_body, alpha, mask,
                           np.asarray(res.pose.q_begin), np.asarray(res.pose.t_begin),
                           q_lo, t_lo)
-        if self.frame_idx % 20 == 0:
-            self.vmap = vm.evict_far(self.vmap, jnp.asarray(t_lo, jnp.float32),
+        if self.frame_idx % self.cfg.evict_every == 0:
+            self._vmap = vm.evict_far(self._vmap, jnp.asarray(t_lo, jnp.float32),
                                      cfg.map_cfg)
         self.frame_idx += 1
         out = self._output(t, degenerate, switched)
@@ -217,7 +329,8 @@ class LidarOdometry:
         K = self.cfg.max_keypoints
         n = pts.shape[0]
         if n >= K:
-            idx = np.linspace(0, n - 1, K).astype(np.int64)
+            # integer stride (matches the fused device selection bit-exactly)
+            idx = (np.arange(K, dtype=np.int64) * (n - 1)) // max(K - 1, 1)
             return pts[idx], alpha[idx], mask[idx]
         pad = K - n
         return (np.concatenate([pts, np.zeros((pad, 3), pts.dtype)]),
@@ -234,8 +347,9 @@ class LidarOdometry:
         # world-frame cloud published downstream (the reference's /scan
         # topic consumed by ImMesh, main_eskf.cpp:177-358)
         self.last_cloud = (p_w, jnp.asarray(mask, jnp.float32))
-        self.vmap = vm.insert(self.vmap, p_w,
-                              jnp.asarray(mask, jnp.float32), self.cfg.map_cfg)
+        self._vmap = vm.insert(self._vmap, p_w,
+                              jnp.asarray(mask, jnp.float32), self.cfg.map_cfg,
+                              center=jnp.asarray(t_e, jnp.float32))
 
     def _static_init(self, external_pose):
         acc = np.asarray(self._init_acc)
@@ -245,18 +359,18 @@ class LidarOdometry:
         R0 = np.asarray(lie.gravity_align(jnp.asarray(acc_mean, jnp.float32)))
         q0 = np.asarray(lie.mat_to_quat(jnp.asarray(R0, jnp.float32)))
         ba = acc_mean - R0.T @ np.array([0, 0, self.cfg.g_norm])
-        self.eskf = self.eskf._replace(
+        self._eskf = self._eskf._replace(
             q=jnp.asarray(q0, jnp.float32),
             bg=jnp.asarray(bg, jnp.float32),
             ba=jnp.asarray(ba, jnp.float32))
         if external_pose is not None:
             p_ext, q_ext = external_pose
-            self.eskf = self.eskf._replace(p=jnp.asarray(p_ext, jnp.float32))
+            self._eskf = self._eskf._replace(p=jnp.asarray(p_ext, jnp.float32))
             self.last_t_ext = np.asarray(p_ext, float).copy()
             self.last_q_ext = np.asarray(q_ext, float).copy()
         # continuity anchors start at the init pose
-        self.t_fused = np.asarray(self.eskf.p, float).copy()
-        self.q_fused = np.asarray(self.eskf.q, float).copy()
+        self.t_fused = np.asarray(self._eskf.p, float).copy()
+        self.q_fused = np.asarray(self._eskf.q, float).copy()
         self.last_t_lo = self.t_fused.copy()
         self.last_q_lo = self.q_fused.copy()
 

@@ -22,7 +22,7 @@ def drive_sequence(lidar, duration=6.0, scan_rate=10.0, imu_rate=200.0,
     rng = np.random.default_rng(seed)
 
     cfg = LioConfig(
-        map_cfg=vm.VoxelMapConfig(capacity=1 << 15, max_range=50.0),
+        map_cfg=vm.VoxelMapConfig(capacity=1 << 16, max_range=50.0),
         icp_cfg=CtIcpConfig(outer_iters=5),
         static_init_samples=int(0.5 * imu_rate))
     lo = LidarOdometry(cfg)
