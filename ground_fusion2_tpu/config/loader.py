@@ -41,6 +41,7 @@ class SystemYamlConfig:
     use_lidar: bool
     use_gnss: bool
     use_wheel: bool
+    lidar_type: object      # data.cloud_convert.LidarType (decoder select)
     raw: dict
 
 
@@ -111,4 +112,16 @@ def load_config(path: str | Path) -> SystemYamlConfig:
         cam_intrinsics=cam, tic=tic, ric=ric, t_il=t_il, r_il=r_il,
         t_io=t_io, r_io=r_io,
         use_lidar=bool(raw.get("lidar_enable", 1)),
+        lidar_type=_lidar_type(raw.get("lidar_type", "avia")),
         use_gnss=use_gnss, use_wheel=use_wheel, raw=raw)
+
+def _lidar_type(name):
+    """YAML ``lidar_type`` -> cloud decoder (reference lio config key
+    ``preprocess/lidar_type``: 1-AVIA 2-velodyne 3-ouster 4-robosense
+    5-pandar; names accepted too)."""
+    from ..data.cloud_convert import LidarType
+    if isinstance(name, int):
+        return LidarType(name)
+    return {"avia": LidarType.AVIA, "velodyne": LidarType.VELO32,
+            "ouster": LidarType.OUST64, "robosense": LidarType.ROBOSENSE16,
+            "pandar": LidarType.PANDAR}[str(name).lower()]

