@@ -125,6 +125,70 @@ def bench_lio(n_scans=20):
     return n_scans / (time.perf_counter() - t0)
 
 
+def bench_system(n_frames=30):
+    """FULL GroundFusion at rate: fused camera tick + fused LIO + switch in
+    one system (the reference's whole launch topology,
+    run_m3dgr.launch:14-27). Returns combined system ticks/s (one tick =
+    one camera frame + one lidar sweep)."""
+    import jax.numpy as jnp
+    from ground_fusion2_tpu.data import synthetic as sim
+    from ground_fusion2_tpu.data.render import SceneRenderer, make_room_scene
+    from ground_fusion2_tpu.frontend.tracker import TrackerConfig
+    from ground_fusion2_tpu.system import GroundFusion, SystemConfig
+    from ground_fusion2_tpu.vio.estimator import EstimatorConfig
+    from ground_fusion2_tpu.core.cameras import Pinhole
+
+    fx = fy = 607.8
+    cx, cy = 328.8, 245.5
+    rend = SceneRenderer(make_room_scene(seed=0), fx, fy, cx, cy, 640, 480)
+    ric = np.array([[0, 0, 1.0], [-1, 0, 0], [0, -1, 0]])
+    lidar = sim.LidarSim.room(x=(-6, 10), y=(-5, 5), n_rays=4096,
+                              noise=0.005, seed=0)
+    traj = sim.make_planar_trajectory(duration=n_frames * 0.1 + 2.0,
+                                      speed=0.8, yaw_rate=0.3,
+                                      static_time=0.8, ramp_time=0.5)
+    traj.p[:, 2] += 1.0
+    rng = np.random.default_rng(0)
+    spf = 20
+    frames = []
+    for k in range(n_frames):
+        i0, i1 = k * spf, (k + 1) * spf
+        R_wb = np.asarray(sim._quat_to_mat(traj.q[i1]))
+        gray, depth = rend.render(traj.p[i1] + [0, 0, 0.4], R_wb @ ric)
+        pts, alpha, valid = lidar.scan(traj.p[i0], traj.q[i0],
+                                       traj.p[i1], traj.q[i1], rng=rng)
+        imu = (traj.acc_body[i0:i1 + 1].astype(np.float32),
+               traj.gyr_body[i0:i1 + 1].astype(np.float32),
+               np.full((spf,), 0.005, np.float32))
+        frames.append((traj.t[i1], gray, depth, pts, alpha, valid, imu))
+
+    cfg = SystemConfig(
+        vio=EstimatorConfig(num_feats=96),
+        tracker=TrackerConfig(num_slots=96, equalize=True, use_ransac=True,
+                              focal=fx, depth_range=(0.1, 20.0)),
+        cam=Pinhole.create(fx, fy, cx, cy),
+        vio_pipelined=True, vio_depth_stride=2, lio_pipelined=True)
+    gf = GroundFusion(cfg, tic=np.zeros(3), ric=ric)
+
+    ticks = []
+    warm = 0
+    for (t, g, d, pts, alpha, valid, imu) in frames:
+        was = (gf.vio.carry is not None
+               and gf.lio is not None and gf.lio._carry is not None)
+        t0 = time.perf_counter()
+        gf.process_camera_image(t, g, d, imu)
+        gf.process_lidar(t, pts, alpha, valid, imu)
+        dt = time.perf_counter() - t0
+        if was:
+            warm += 1
+            if warm > 2:
+                ticks.append(dt)
+    gf.flush()
+    assert ticks, "system never reached steady state"
+    arr = np.asarray(ticks)
+    return 1.0 / arr.mean(), float(np.median(arr))
+
+
 def bench_solver():
     from ground_fusion2_tpu.data.example import make_example_window
     from ground_fusion2_tpu.vio.problem import marginalize_oldest, solve_window
@@ -153,6 +217,13 @@ def main():
             extras["lio_ticks_per_s"] = round(bench_lio(), 2)
         except Exception as e:          # never lose the primary metric
             extras["lio_error"] = str(e)[:120]
+    if left() > 150:
+        try:
+            sys_fps, sys_p50 = bench_system()
+            extras["system_ticks_per_s"] = round(sys_fps, 2)
+            extras["system_tick_p50_ms"] = round(sys_p50 * 1e3, 2)
+        except Exception as e:
+            extras["system_error"] = str(e)[:120]
     if left() > 60:
         try:
             sps = bench_solver()

@@ -103,7 +103,8 @@ def run_synthetic_sequence(
                 clk_bias=5.0, clk_drift=0.5)
         if fused:
             out = est.process_obs(t, obs, imu_chunk,
-                                  wheel_vel=wvel[i0:i1 + 1])
+                                  wheel_vel=wvel[i0:i1 + 1],
+                                  gnss_meas=gnss_meas)
         else:
             out = est.process_frame(t, obs, imu_chunk,
                                     wheel_vel=wvel[i0:i1 + 1],

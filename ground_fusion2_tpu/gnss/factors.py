@@ -147,10 +147,12 @@ def gnss_residuals(x: WindowState, tab: GnssTable, enabled: jax.Array,
     v_rot = jnp.einsum("ij,wj->wi", Rz, x.v)
 
     dt_sel = jnp.einsum("wsf,wf->ws", tab.sys_onehot, x.gdt)     # [W, S]
+    # clamp stds: a zero std in an EMPTY slot would make inf residuals and
+    # 0*inf = NaN cost even at weight 0 (NaN-poisons LM + marginalization)
     r_psr = (-jnp.einsum("wsi,wi->ws", tab.u_enu, p_rot)
-             + dt_sel - tab.r0) / tab.psr_std
+             + dt_sel - tab.r0) / jnp.maximum(tab.psr_std, 1e-2)
     r_dopp = (-jnp.einsum("wsi,wi->ws", tab.u_enu, v_rot)
-              - x.gddt[:, None] - tab.d0) / tab.dopp_std
+              - x.gddt[:, None] - tab.d0) / jnp.maximum(tab.dopp_std, 1e-3)
     w_obs = tab.valid * enabled
 
     # clock evolution: dt_{k+1} = dt_k + ddt_k Δt (per constellation)

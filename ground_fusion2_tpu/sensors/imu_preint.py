@@ -154,6 +154,107 @@ def preintegrate(
     )
     Q = jnp.diag(q)
 
+    # ---- parallel-in-N formulation --------------------------------------
+    # The sequential scan costs N dependent 15x15 matmul steps; on TPU the
+    # chain reassociates: the orientation is a quaternion prefix product,
+    # kinematics are prefix sums, and the covariance/Jacobian updates
+    # P ← F P Fᵀ + V Q Vᵀ, J ← F J compose associatively:
+    #   (F₂, Q₂) ∘ (F₁, Q₁) = (F₂F₁, F₂Q₁F₂ᵀ + Q₂)
+    # With P₀ = 0 and J₀ = I the interval totals are just (F_tot, Q_tot).
+    # Same discretization as :func:`_step`, modulo fp reassociation and
+    # per-step quaternion renormalization.
+    N = n
+    w = 0.5 * (gyr_c[:-1] + gyr_c[1:])                     # [N, 3]
+    dqs = lie.quat_exp(w * dt[:, None])
+    dq_incl = lie.quat_normalize(
+        jax.lax.associative_scan(lie.quat_mul, dqs))       # dq after step i
+    dq_excl = jnp.concatenate(
+        [lie.quat_identity((1,), dtype), dq_incl[:-1]], axis=0)
+    R0 = lie.quat_to_mat(dq_excl)                          # [N, 3, 3]
+    R1 = lie.quat_to_mat(dq_incl)
+    un0 = jnp.einsum("nij,nj->ni", R0, acc_c[:-1])
+    un1 = jnp.einsum("nij,nj->ni", R1, acc_c[1:])
+    acc_m = 0.5 * (un0 + un1)
+    dvs = acc_m * dt[:, None]
+    dv_incl = jnp.cumsum(dvs, axis=0)
+    dv_excl = jnp.concatenate([jnp.zeros((1, 3), dtype), dv_incl[:-1]])
+    dps = dv_excl * dt[:, None] + 0.5 * acc_m * dt[:, None] ** 2
+    dp_incl = jnp.cumsum(dps, axis=0)
+
+    # batched error-state transition / noise map (same blocks as _step)
+    I3 = jnp.eye(3, dtype=dtype)[None]
+    hat = jax.vmap(lie.hat)
+    A0 = hat(acc_c[:-1])
+    A1 = hat(acc_c[1:])
+    Wx = hat(w)
+    dtN = dt[:, None, None]
+    Rw = I3 - Wx * dtN
+    R0A0 = R0 @ A0
+    R1A1 = R1 @ A1
+    F = jnp.zeros((N, 15, 15), dtype)
+    F = F.at[:, 0:3, 0:3].set(I3)
+    F = F.at[:, 0:3, 3:6].set(-0.25 * dtN * dtN * (R0A0 + R1A1 @ Rw))
+    F = F.at[:, 0:3, 6:9].set(I3 * dtN)
+    F = F.at[:, 0:3, 9:12].set(-0.25 * (R0 + R1) * dtN * dtN)
+    F = F.at[:, 0:3, 12:15].set(0.25 * R1A1 * dtN ** 3)
+    F = F.at[:, 3:6, 3:6].set(Rw)
+    F = F.at[:, 3:6, 12:15].set(-I3 * dtN)
+    F = F.at[:, 6:9, 3:6].set(-0.5 * dtN * (R0A0 + R1A1 @ Rw))
+    F = F.at[:, 6:9, 6:9].set(I3)
+    F = F.at[:, 6:9, 9:12].set(-0.5 * (R0 + R1) * dtN)
+    F = F.at[:, 6:9, 12:15].set(0.5 * R1A1 * dtN * dtN)
+    F = F.at[:, 9:12, 9:12].set(I3)
+    F = F.at[:, 12:15, 12:15].set(I3)
+
+    V = jnp.zeros((N, 15, 18), dtype)
+    V = V.at[:, 0:3, 0:3].set(0.25 * R0 * dtN * dtN)
+    V = V.at[:, 0:3, 3:6].set(-0.125 * R1A1 * dtN ** 3)
+    V = V.at[:, 0:3, 6:9].set(0.25 * R1 * dtN * dtN)
+    V = V.at[:, 0:3, 9:12].set(-0.125 * R1A1 * dtN ** 3)
+    V = V.at[:, 3:6, 3:6].set(0.5 * I3 * dtN)
+    V = V.at[:, 3:6, 9:12].set(0.5 * I3 * dtN)
+    V = V.at[:, 6:9, 0:3].set(0.5 * R0 * dtN)
+    V = V.at[:, 6:9, 3:6].set(-0.25 * R1A1 * dtN * dtN)
+    V = V.at[:, 6:9, 6:9].set(0.5 * R1 * dtN)
+    V = V.at[:, 6:9, 9:12].set(-0.25 * R1A1 * dtN * dtN)
+    V = V.at[:, 9:12, 12:15].set(I3 * dtN)
+    V = V.at[:, 12:15, 15:18].set(I3 * dtN)
+    Qs = jnp.einsum("nij,j,nkj->nik", V, q, V)             # V Q Vᵀ per step
+
+    def combine(a, b):
+        Fa, Qa = a
+        Fb, Qb = b
+        return Fb @ Fa, Fb @ Qa @ jnp.swapaxes(Fb, -1, -2) + Qb
+
+    F_tot, Q_tot = jax.tree.map(
+        lambda x: x[-1], jax.lax.associative_scan(combine, (F, Qs), axis=0))
+    return ImuPreint(dp_incl[-1], dq_incl[-1], dv_incl[-1], Q_tot, F_tot,
+                     jnp.sum(dt), ba, bg)
+
+
+def preintegrate_sequential(
+    acc: jax.Array,
+    gyr: jax.Array,
+    dt: jax.Array,
+    ba: jax.Array,
+    bg: jax.Array,
+    noise: ImuNoise,
+    mask: jax.Array | None = None,
+) -> ImuPreint:
+    """Reference sequential scan (kept as the parity oracle for tests)."""
+    dtype = acc.dtype
+    n = dt.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=dtype)
+    dt = dt * mask.astype(dtype)
+    acc_c = acc - ba
+    gyr_c = gyr - bg
+    q = jnp.array(
+        [noise.acc_n**2] * 3 + [noise.gyr_n**2] * 3 + [noise.acc_n**2] * 3
+        + [noise.gyr_n**2] * 3 + [noise.acc_w**2] * 3 + [noise.gyr_w**2] * 3,
+        dtype=dtype,
+    )
+    Q = jnp.diag(q)
     init = (
         jnp.zeros(3, dtype),
         lie.quat_identity(dtype=dtype),
@@ -197,18 +298,17 @@ def propagate_state(p, q, v, ba, bg, g_world, acc, gyr, dt, mask=None):
     if mask is not None:
         dt = dt * mask.astype(dtype)
 
-    def step(carry, inp):
-        p, q, v = carry
-        a0, w0, a1, w1, dt = inp
-        un_acc_0 = lie.quat_rotate(q, a0 - ba) + g_world
-        w = 0.5 * (w0 + w1) - bg
-        q1 = lie.quat_normalize(lie.quat_mul(q, lie.quat_exp(w * dt)))
-        un_acc_1 = lie.quat_rotate(q1, a1 - ba) + g_world
-        acc = 0.5 * (un_acc_0 + un_acc_1)
-        p1 = p + v * dt + 0.5 * acc * dt * dt
-        v1 = v + acc * dt
-        return (p1, q1, v1), None
-
-    inputs = (acc[:-1], gyr[:-1], acc[1:], gyr[1:], dt)
-    (p, q, v), _ = jax.lax.scan(step, (p, q, v), inputs)
-    return p, q, v
+    # parallel-in-N (see preintegrate): quaternion prefix chain + cumsums
+    w = 0.5 * (gyr[:-1] + gyr[1:]) - bg[None]
+    dqs = lie.quat_exp(w * dt[:, None])
+    q_incl = lie.quat_normalize(
+        lie.quat_mul(q[None], jax.lax.associative_scan(lie.quat_mul, dqs)))
+    q_excl = jnp.concatenate([q[None], q_incl[:-1]], axis=0)
+    un0 = lie.quat_rotate(q_excl, acc[:-1] - ba[None]) + g_world[None]
+    un1 = lie.quat_rotate(q_incl, acc[1:] - ba[None]) + g_world[None]
+    acc_m = 0.5 * (un0 + un1)
+    v_incl = v[None] + jnp.cumsum(acc_m * dt[:, None], axis=0)
+    v_excl = jnp.concatenate([v[None], v_incl[:-1]], axis=0)
+    p_incl = p[None] + jnp.cumsum(
+        v_excl * dt[:, None] + 0.5 * acc_m * dt[:, None] ** 2, axis=0)
+    return p_incl[-1], q_incl[-1], v_incl[-1]

@@ -126,21 +126,85 @@ def preintegrate_wheel(
 
         return (dp1, dq1, cov1, Jix1), None
 
-    init = (
-        jnp.zeros(3, dtype),
-        lie.quat_identity(dtype=dtype),
-        jnp.zeros((6, 6), dtype),
-        jnp.zeros((6, 3), dtype),
-    )
-    inputs = (vel[:-1], gyr[:-1], vel[1:], gyr[1:], dt)
-    (dp, dq, cov, Jix), _ = jax.lax.scan(step, init, inputs)
+    # ---- parallel-in-N formulation (same recipe as imu_preint) ----------
+    # orientation = quaternion prefix product; dp and the intrinsic
+    # Jacobian columns unroll to prefix sums once the orientation chain is
+    # known (dp_dsw's recursion is affine in dr_dsw, whose own prefix is a
+    # plain cumsum); covariance composes associatively via (F, VQVᵀ).
+    del step  # sequential body kept above for readability/reference
+    N = n
+    v0, v1 = vel[:-1], vel[1:]
+    g0, g1 = gyr[:-1], gyr[1:]
+    w = 0.5 * sw * (g0 + g1)                               # [N, 3]
+    phi = w * dt[:, None]
+    dq_steps = lie.quat_exp(phi)
+    dq_incl = lie.quat_normalize(
+        jax.lax.associative_scan(lie.quat_mul, dq_steps))
+    dq_excl = jnp.concatenate(
+        [lie.quat_identity((1,), dtype), dq_incl[:-1]], axis=0)
+    R0 = lie.quat_to_mat(dq_excl)
+    R1 = lie.quat_to_mat(dq_incl)
+    Rd = lie.quat_to_mat(dq_steps)
+    mv = lambda M, x: jnp.einsum("nij,nj->ni", M, x)
+    sdiag = jnp.stack([sx, sy, jnp.asarray(1.0, dtype)])[None]
+    sv0 = v0 * sdiag
+    sv1 = v1 * sdiag
+    dtN = dt[:, None]
+    dp_incl = jnp.cumsum(0.5 * (mv(R0, sv0) + mv(R1, sv1)) * dtN, axis=0)
+
+    hat = jax.vmap(lie.hat)
+    dtM = dt[:, None, None]
+    F = jnp.zeros((N, 6, 6), dtype)
+    F = F.at[:, 0:3, 0:3].set(I3[None])
+    F = F.at[:, 0:3, 3:6].set(
+        -0.5 * dtM * (R0 @ hat(sv0) + R1 @ hat(sv1)
+                      @ jnp.swapaxes(Rd, -1, -2)))
+    F = F.at[:, 3:6, 3:6].set(jnp.swapaxes(Rd, -1, -2))
+
+    Jr = jax.vmap(lie.so3_right_jacobian)(phi)
+    SvN = Sv[None]
+    V = jnp.zeros((N, 6, 12), dtype)
+    V = V.at[:, 0:3, 0:3].set(0.5 * dtM * R0 @ SvN)
+    V = V.at[:, 0:3, 3:6].set(-0.25 * dtM * dtM * R1 @ hat(sv1) @ Jr)
+    V = V.at[:, 0:3, 6:9].set(0.5 * dtM * R1 @ SvN)
+    V = V.at[:, 0:3, 9:12].set(-0.25 * dtM * dtM * R1 @ hat(sv1) @ Jr)
+    V = V.at[:, 3:6, 3:6].set(0.5 * Jr * sw * dtM)
+    V = V.at[:, 3:6, 9:12].set(0.5 * Jr * sw * dtM)
+    Qs = jnp.einsum("nij,j,nkj->nik", V, qn, V)
+
+    def combine(a, b):
+        Fa, Qa = a
+        Fb, Qb = b
+        return Fb @ Fa, Fb @ Qa @ jnp.swapaxes(Fb, -1, -2) + Qb
+
+    F_tot, cov = jax.tree.map(
+        lambda x: x[-1],
+        jax.lax.associative_scan(combine, (F, Qs), axis=0))
+
+    e1 = jnp.array([1.0, 0.0, 0.0], dtype)[None]
+    e2 = jnp.array([0.0, 1.0, 0.0], dtype)[None]
+    dp_dsx = jnp.cumsum(
+        0.5 * dtN * (mv(R0, e1 * v0) + mv(R1, e1 * v1)), axis=0)[-1]
+    dp_dsy = jnp.cumsum(
+        0.5 * dtN * (mv(R0, e2 * v0) + mv(R1, e2 * v1)), axis=0)[-1]
+    c = mv(Jr, 0.5 * (g0 + g1) * dtN)
+    dr_incl = jnp.cumsum(c, axis=0)
+    dr_excl = jnp.concatenate([jnp.zeros((1, 3), dtype), dr_incl[:-1]])
+    dp_dsw = jnp.cumsum(
+        0.5 * dtN * (mv(R0 @ hat(dr_excl), sv0)
+                     + mv(R1 @ hat(dr_incl), sv1)), axis=0)[-1]
+    Jix = jnp.zeros((6, 3), dtype)
+    Jix = Jix.at[0:3, 0].set(dp_dsx)
+    Jix = Jix.at[0:3, 1].set(dp_dsy)
+    Jix = Jix.at[0:3, 2].set(dp_dsw)
+    Jix = Jix.at[3:6, 2].set(dr_incl[-1])
 
     # last valid endpoint sample (mask may end early)
     idx_last = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 0)
     vel_end = vel[idx_last]
     gyr_end = gyr[idx_last]
     return WheelPreint(
-        dp, dq, cov, Jix, jnp.sum(dt), sx, sy, sw,
+        dp_incl[-1], dq_incl[-1], cov, Jix, jnp.sum(dt), sx, sy, sw,
         vel[0], gyr[0], vel_end, gyr_end,
     )
 

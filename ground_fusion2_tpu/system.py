@@ -44,6 +44,16 @@ class SystemConfig:
     vio: EstimatorConfig = field(default_factory=EstimatorConfig)
     lio: LioConfig = field(default_factory=LioConfig)
     use_lidar: bool = True
+    # camera-tick backend: "fused" = single-dispatch device tick
+    # (vio/fused.py) — the configuration the bench measures; "legacy" =
+    # host-orchestrated VioEstimator (equivalence oracle)
+    vio_backend: str = "fused"
+    tracker: object | None = None             # TrackerConfig (fused+raw-image)
+    cam: object | None = None                 # camera model (fused+raw-image)
+    vio_pipelined: bool = False               # overlap readback w/ next tick
+    vio_depth_stride: int = 1                 # decimate depth upload (f16)
+    auto_dyn_mask: bool = False               # rigid-warp dynamic masking
+    lio_pipelined: bool = False               # fused LIO record pipelining
     # loop closure (dense_map analog)
     use_loop_closure: bool = False
     pose_graph: object | None = None          # PoseGraphConfig
@@ -94,8 +104,12 @@ class GroundFusion:
         self.cfg = cfg
         self._tic, self._ric = tic, ric
         self._tio, self._rio = tio, rio
-        self.vio = VioEstimator(cfg.vio, tic=tic, ric=ric, tio=tio, rio=rio)
-        self.lio = LidarOdometry(cfg.lio) if cfg.use_lidar else None
+        self.vio = self._make_vio()
+        self.lio = (LidarOdometry(cfg.lio, pipelined=cfg.lio_pipelined)
+                    if cfg.use_lidar else None)
+        # pipelined fused VIO emits tick k's output at tick k+1: keyframe
+        # fan-out needs that tick's image/depth — one-slot history cache
+        self._frame_cache: dict = {}
         self.latest_vio: VioOutput | None = None
         self.trajectory: list[FusedOutput] = []
         self.telemetry = Telemetry()
@@ -130,13 +144,33 @@ class GroundFusion:
             else:
                 self.occ_grid = OccupancyGrid(cfg.occupancy or GridConfig())
 
+    def _make_vio(self):
+        cfg = self.cfg
+        if cfg.vio_backend == "fused":
+            from .frontend.tracker import TrackerConfig
+            from .vio.fused import FusedVio
+            from .core.cameras import Pinhole
+            tracker = cfg.tracker or TrackerConfig(
+                num_slots=cfg.vio.num_feats)
+            fx, fy, cx, cy = self.cfg.cam_intr
+            cam = cfg.cam or Pinhole.create(fx, fy, cx, cy)
+            return FusedVio(cfg.vio, tracker, cam,
+                            tic=self._tic, ric=self._ric,
+                            tio=self._tio, rio=self._rio,
+                            depth_stride=cfg.vio_depth_stride,
+                            pipelined=cfg.vio_pipelined,
+                            auto_dyn_mask=cfg.auto_dyn_mask)
+        return VioEstimator(cfg.vio, tic=self._tic, ric=self._ric,
+                            tio=self._tio, rio=self._rio)
+
     def restart(self):
         """External estimator restart (the reference's ``/vins_restart``
         topic, ``rosNodeTest.cpp:621-636``): rebuild both estimators from
         scratch; the telemetry/trajectory history is preserved."""
-        self.vio = VioEstimator(self.cfg.vio, tic=self._tic, ric=self._ric,
-                                tio=self._tio, rio=self._rio)
-        self.lio = LidarOdometry(self.cfg.lio) if self.cfg.use_lidar else None
+        self.vio = self._make_vio()
+        self.lio = (LidarOdometry(self.cfg.lio,
+                                  pipelined=self.cfg.lio_pipelined)
+                    if self.cfg.use_lidar else None)
         self.latest_vio = None
         self.telemetry.event(self.trajectory[-1].t if self.trajectory
                              else 0.0, "restart")
@@ -160,13 +194,66 @@ class GroundFusion:
     def process_camera(self, t: float, obs: fwin.FrameObs, imu_chunk,
                        wheel_vel=None, gnss_meas=None, img=None,
                        depth_img=None, gps_enu=None,
-                       gps_std: float = 1.0) -> VioOutput:
-        """One camera tick. ``img`` (grayscale [H, W]) enables loop-closure
-        keyframe description (``depth_img`` seeds the loop geometry);
-        ``gps_enu`` attaches a global anchor to this tick's keyframe
-        (global fusion)."""
-        out = self.vio.process_frame(t, obs, imu_chunk, wheel_vel=wheel_vel,
+                       gps_std: float = 1.0) -> VioOutput | None:
+        """One camera tick from pre-tracked observations. ``img`` (grayscale
+        [H, W]) enables loop-closure keyframe description (``depth_img``
+        seeds the loop geometry); ``gps_enu`` attaches a global anchor to
+        this tick's keyframe (global fusion).
+
+        With the fused backend in pipelined mode the returned output lags
+        one frame (``None`` on the very first fused tick; call
+        :meth:`flush` at sequence end)."""
+        from .vio.fused import FusedVio
+        self._frame_cache = {t: (img, depth_img, gps_enu, gps_std),
+                             **{k: v for k, v in self._frame_cache.items()
+                                if abs(k - t) < 0.5}}
+        if isinstance(self.vio, FusedVio):
+            out = self.vio.process_obs(t, obs, imu_chunk,
+                                       wheel_vel=wheel_vel,
+                                       gnss_meas=gnss_meas)
+        else:
+            out = self.vio.process_frame(t, obs, imu_chunk,
+                                         wheel_vel=wheel_vel,
+                                         gnss_meas=gnss_meas)
+        return self._after_camera(out)
+
+    def process_camera_image(self, t: float, img, depth, imu_chunk,
+                             wheel_vel=None, gnss_meas=None, gps_enu=None,
+                             gps_std: float = 1.0) -> VioOutput | None:
+        """One camera tick from a RAW grayscale image + depth map: the full
+        fused device tick (CLAHE + KLT + RANSAC + solve in one dispatch,
+        the configuration ``bench.py`` measures). Requires the fused
+        backend."""
+        from .vio.fused import FusedVio
+        assert isinstance(self.vio, FusedVio), \
+            "process_camera_image needs vio_backend='fused'"
+        self._frame_cache = {t: (img, depth, gps_enu, gps_std),
+                             **{k: v for k, v in self._frame_cache.items()
+                                if abs(k - t) < 0.5}}
+        out = self.vio.process_image(t, img, depth, imu_chunk,
+                                     wheel_vel=wheel_vel,
                                      gnss_meas=gnss_meas)
+        return self._after_camera(out)
+
+    def flush(self) -> VioOutput | None:
+        """Drain the pipelined estimators' in-flight outputs (call at
+        sequence end)."""
+        from .vio.fused import FusedVio
+        if self.lio is not None and self.lio.pipelined:
+            lout = self.lio.flush()
+            if lout is not None:
+                self._after_lidar(lout)
+        if isinstance(self.vio, FusedVio):
+            return self._after_camera(self.vio.flush())
+        return None
+
+    def _after_camera(self, out: VioOutput | None) -> VioOutput | None:
+        """Telemetry + keyframe fan-out for one (possibly lagged) output."""
+        if out is None:
+            return None
+        t = out.t
+        img, depth_img, gps_enu, gps_std = self._frame_cache.get(
+            t, (None, None, None, 1.0))
         self.latest_vio = out
         tm = self.telemetry
         if out.initialized:
@@ -247,30 +334,35 @@ class GroundFusion:
         out = self.lio.process_scan(t, pts_body, alpha, mask, imu_chunk,
                                     external_pose=ext)
         if out is not None:
-            tm = self.telemetry
-            tm.pose("lio_raw", t, out.p_lio, out.q_lio)
-            tm.pose("fused", t, out.p_fused, out.q_fused)
-            tm.tick(t, degenerate=out.degenerate, icp_corr=out.n_corr)
-            if out.switched:
-                tm.event(t, f"switch_{out.switched}")
-            self.trajectory.append(FusedOutput(
-                t=t, p=out.p_fused, q=out.q_fused,
-                p_vio=None if ext is None else np.asarray(ext[0]),
-                degenerate=out.degenerate, switched=out.switched,
-                source="fused"))
-            if self.occ_grid is not None and self.lio.last_cloud is not None:
-                p_w, m = self.lio.last_cloud
-                self.occ_grid.update(np.asarray(out.p_fused)[:2],
-                                     np.asarray(p_w), np.asarray(m) > 0.5)
-            if self.mesher is not None and self.lio.last_cloud is not None:
-                p_w, m = self.lio.last_cloud
-                kwargs = {}
-                if img is not None and cam_pose_world is not None:
-                    kwargs = dict(image=img, r_wc=cam_pose_world[0],
-                                  t_wc=cam_pose_world[1])
-                self.mesher.add_frame(np.asarray(p_w), np.asarray(m),
-                                      **kwargs)
+            self._after_lidar(out, ext=ext, img=img,
+                              cam_pose_world=cam_pose_world)
         return out
+
+    def _after_lidar(self, out, ext=None, img=None, cam_pose_world=None):
+        t = out.t
+        tm = self.telemetry
+        tm.pose("lio_raw", t, out.p_lio, out.q_lio)
+        tm.pose("fused", t, out.p_fused, out.q_fused)
+        tm.tick(t, degenerate=out.degenerate, icp_corr=out.n_corr)
+        if out.switched:
+            tm.event(t, f"switch_{out.switched}")
+        self.trajectory.append(FusedOutput(
+            t=t, p=out.p_fused, q=out.q_fused,
+            p_vio=None if ext is None else np.asarray(ext[0]),
+            degenerate=out.degenerate, switched=out.switched,
+            source="fused"))
+        if self.occ_grid is not None and self.lio.last_cloud is not None:
+            p_w, m = self.lio.last_cloud
+            self.occ_grid.update(np.asarray(out.p_fused)[:2],
+                                 np.asarray(p_w), np.asarray(m) > 0.5)
+        if self.mesher is not None and self.lio.last_cloud is not None:
+            p_w, m = self.lio.last_cloud
+            kwargs = {}
+            if img is not None and cam_pose_world is not None:
+                kwargs = dict(image=img, r_wc=cam_pose_world[0],
+                              t_wc=cam_pose_world[1])
+            self.mesher.add_frame(np.asarray(p_w), np.asarray(m),
+                                  **kwargs)
 
     # -- outputs ---------------------------------------------------------
     def save_trajectory_tum(self, path: str):

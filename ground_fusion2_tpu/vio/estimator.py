@@ -177,14 +177,16 @@ def _preintegrate_all(acc, gyr, wvel, dt, mask, ba, bg, six, siy, siw,
 def _shift_state_left(x: WindowState) -> WindowState:
     def sh(a):
         return jnp.concatenate([a[1:], a[-1:]], axis=0)
-    return x._replace(p=sh(x.p), q=sh(x.q), v=sh(x.v), ba=sh(x.ba), bg=sh(x.bg))
+    return x._replace(p=sh(x.p), q=sh(x.q), v=sh(x.v), ba=sh(x.ba),
+                      bg=sh(x.bg), gdt=sh(x.gdt), gddt=sh(x.gddt))
 
 
 @jax.jit
 def _drop_second_newest(x: WindowState) -> WindowState:
     def mv(a):
         return a.at[-2].set(a[-1])
-    return x._replace(p=mv(x.p), q=mv(x.q), v=mv(x.v), ba=mv(x.ba), bg=mv(x.bg))
+    return x._replace(p=mv(x.p), q=mv(x.q), v=mv(x.v), ba=mv(x.ba),
+                      bg=mv(x.bg), gdt=mv(x.gdt), gddt=mv(x.gddt))
 
 
 class VioEstimator:
@@ -614,47 +616,22 @@ class VioEstimator:
         """GNSS-VI alignment (reference ``GNSSVIAlign`` /
         ``gnss_vi_initializer.cpp``): SPP coarse fix -> yaw from
         velocity-direction matching -> anchor such that the local origin
-        lands on the fix; then a few refine ticks with yaw/anchor free."""
-        from ..gnss import frames as gframes
-        from ..gnss.spp import spp_position, spp_velocity
+        lands on the fix; then a few refine ticks with yaw/anchor free.
+        The math lives in :func:`..gnss.align.align_attempt` (shared with
+        the fused path)."""
+        from ..gnss.align import align_attempt
 
-        # collect epochs currently in the window with enough sats + motion
         k = min(self.frame_count, NUM_FRAMES) - 1
         meas = self.gnss_frames[k]
-        if not meas or len(meas) < 5:
+        res = align_attempt(meas, np.asarray(self.state.v[k]),
+                            np.asarray(self.state.p[k]),
+                            self.gnss_align_buf,
+                            self.cfg.gnss_align_min_speed,
+                            self.cfg.gnss_align_min_epochs)
+        if res is None:
             return
-        v_local = np.asarray(self.state.v[k])
-        if np.linalg.norm(v_local[:2]) < self.cfg.gnss_align_min_speed:
-            return
-        pos_ecef, dt, ok = spp_position(meas)
-        if not ok:
-            return
-        vel_ecef, ddt, ok = spp_velocity(meas, pos_ecef)
-        if not ok:
-            return
-        R = gframes.ecef2rotation(pos_ecef)
-        v_enu = R @ vel_ecef
-        if np.linalg.norm(v_enu[:2]) < self.cfg.gnss_align_min_speed:
-            return
-        self.gnss_align_buf.append(
-            (v_local[:2].copy(), v_enu[:2].copy(), pos_ecef.copy(),
-             np.asarray(self.state.p[k])))
-        if len(self.gnss_align_buf) < self.cfg.gnss_align_min_epochs:
-            return
-        # yaw: average angle taking local velocity direction to ENU
-        num, den = 0.0, 0.0
-        for vl, ve, _, _ in self.gnss_align_buf:
-            cross = vl[0] * ve[1] - vl[1] * ve[0]
-            dot = vl @ ve
-            num += cross
-            den += dot
-        yaw = float(np.arctan2(num, den))
-        # anchor: local origin maps to ENU zero => anchor = fix - Rz p_local
-        _, _, fix_ecef, p_local = self.gnss_align_buf[-1]
-        Rz = np.array([[np.cos(yaw), -np.sin(yaw), 0],
-                       [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1.0]])
-        R_enu2ecef = gframes.ecef2rotation(fix_ecef).T
-        self.gnss_anchor = fix_ecef - R_enu2ecef @ (Rz @ p_local)
+        yaw, anchor = res
+        self.gnss_anchor = anchor
         self.state = self.state._replace(
             gyaw=jnp.asarray(yaw, jnp.float32))
         self.gnss_ready = True

@@ -39,7 +39,7 @@ from ..frontend import klt
 from ..frontend.clahe import clahe
 from ..frontend.dynamic import DynMaskConfig, dynamic_mask
 from ..frontend.ransac import ransac_f_reject
-from ..gnss.factors import GnssTable
+from ..gnss.factors import MAX_SATS, GnssTable
 from ..sensors.imu_preint import propagate_state
 from ..solver.marginalize import MargPrior
 from . import feature_window as fwin
@@ -112,6 +112,7 @@ class FusedCarry(NamedTuple):
     prior: MargPrior
     prior_state: WindowState
     times: jax.Array         # [W]
+    gnss: GnssTable          # device-resident prereduced window epochs
 
 
 class TickRecord(NamedTuple):
@@ -168,6 +169,11 @@ class FusedStatics(NamedTuple):
     outlier_px: float
     g_norm: float
     depth_stride: int = 1   # depth image decimation (transfer saving)
+    gnss_low_speed: float = 0.3   # reference estimator.cpp:2968
+    # dynamic-object masking INSIDE the tick (replaces the round-3 separate
+    # _auto_mask_step dispatch, which cost its own tunnel round trip)
+    auto_dyn_mask: bool = False
+    dyn_cfg: DynMaskConfig = DynMaskConfig()
 
 
 def _tracker_step(tc: TrackerCarry, img, depth_img, dyn_mask, t, cam,
@@ -288,9 +294,15 @@ def _solve_tick(c: FusedCarry, obs: fwin.FrameObs,
                 acc_in, gyr_in, wvel_in, dt_in, smask_in,
                 t, col, full,
                 layout: WindowLayout, s: FusedStatics,
-                imu_noise, wheel_noise):
+                imu_noise, wheel_noise,
+                gnss_row=None, gnss_on=None):
     """The estimator part of the fused tick (initialized path of
-    VioEstimator.process_frame, all decisions traced)."""
+    VioEstimator.process_frame, all decisions traced).
+
+    ``gnss_row``: this frame's host-prereduced epoch as a flat [11*S] f32
+    vector (layout of :func:`pack_gnss_row`); ``gnss_on``: traced scalar,
+    1.0 when use_gnss && gnss_ready on the host (the device adds the
+    low-speed gate, reference ``estimator.cpp:2968-2991``)."""
     vio_cfg = s.vio
     W = layout.W
     k = col - 1
@@ -305,6 +317,31 @@ def _solve_tick(c: FusedCarry, obs: fwin.FrameObs,
         imu_valid=c.imu_valid.at[k].set(1.0),
         wheel_valid=c.wheel_valid.at[k].set(1.0 if s.use_wheel else 0.0),
         times=c.times.at[col].set(jnp.asarray(t, jnp.float32)))
+
+    # 1b. write this frame's GNSS epoch row at col (NOT at the interval
+    # index k — the epoch belongs to the new frame's pose)
+    if gnss_row is None:
+        gnss_row = jnp.asarray(_ZERO_GNSS_ROW)
+        gnss_on = jnp.zeros(())
+
+    def wrc(buf, val):
+        return jax.lax.dynamic_update_slice(
+            buf, val[None].astype(buf.dtype), (col,) + (0,) * val.ndim)
+    S = MAX_SATS
+    o = 0
+    u_r = gnss_row[o:o + 3 * S].reshape(S, 3); o += 3 * S
+    r0_r = gnss_row[o:o + S]; o += S
+    d0_r = gnss_row[o:o + S]; o += S
+    oh_r = gnss_row[o:o + 4 * S].reshape(S, 4); o += 4 * S
+    ps_r = gnss_row[o:o + S]; o += S
+    ds_r = gnss_row[o:o + S]; o += S
+    va_r = gnss_row[o:o + S]
+    g = c.gnss
+    g = g._replace(
+        u_enu=wrc(g.u_enu, u_r), r0=wrc(g.r0, r0_r), d0=wrc(g.d0, d0_r),
+        sys_onehot=wrc(g.sys_onehot, oh_r), psr_std=wrc(g.psr_std, ps_r),
+        dopp_std=wrc(g.dopp_std, ds_r), valid=wrc(g.valid, va_r))
+    c = c._replace(gnss=g)
 
     # 2. add the frame's observations
     fw, rho = fwin.add_frame(c.fw, obs, col, c.state.rho)
@@ -346,13 +383,20 @@ def _solve_tick(c: FusedCarry, obs: fwin.FrameObs,
 
     # 7. window solve
     frame_dt = jnp.maximum(c.times[1:] - c.times[:-1], 1e-3)
+    # GNSS low-speed gate on device (reference estimator.cpp:2968-2991):
+    # mean window speed below threshold => skip GNSS factors, yaw fixed
+    in_win = (jnp.arange(W) <= col).astype(jnp.float32)
+    mean_speed = jnp.sum(jnp.linalg.norm(c.state.v, axis=-1) * in_win) \
+        / jnp.maximum(jnp.sum(in_win), 1.0)
+    gnss_enabled = gnss_on * (mean_speed >= s.gnss_low_speed)
     meas = VioMeasurements(
         feats=fwin.to_factor_table(c.fw),
         imu=pre, imu_valid=c.imu_valid, imu_sqrt_info=sinfo,
         wheel=wpre, wheel_valid=c.wheel_valid, wheel_sqrt_info=wsinfo,
         plane_valid=jnp.asarray(1.0 if vio_cfg.use_plane else 0.0),
         stationary=stationary.astype(jnp.float32),
-        gnss=GnssTable.empty(W), gnss_enabled=jnp.zeros(()),
+        gnss=c.gnss._replace(frame_dt=frame_dt),
+        gnss_enabled=gnss_enabled,
         prior=c.prior, prior_state=c.prior_state,
         frame_dt=frame_dt)
     out = solve_window(state, meas, layout, vio_cfg)
@@ -374,10 +418,14 @@ def _solve_tick(c: FusedCarry, obs: fwin.FrameObs,
     def _slide_pack(cc: FusedCarry):
         return (cc.prior, cc.prior_state, cc.fw, cc.state, cc.rho_init,
                 cc.acc, cc.gyr, cc.wvel, cc.dt, cc.smask,
-                cc.imu_valid, cc.wheel_valid, cc.times)
+                cc.imu_valid, cc.wheel_valid, cc.times, cc.gnss)
 
     def no_slide(cc):
         return _slide_pack(cc)
+
+    def _gnss_fields(gg):
+        return ("u_enu", "r0", "d0", "sys_onehot", "psr_std", "dopp_std",
+                "valid")
 
     def margin_old(cc):
         prior = marginalize_oldest(cc.state, meas, layout, vio_cfg)
@@ -387,10 +435,13 @@ def _solve_tick(c: FusedCarry, obs: fwin.FrameObs,
         def roll(b):
             return jnp.concatenate([b[1:], jnp.zeros_like(b[:1])])
         times2 = jnp.concatenate([cc.times[1:], cc.times[-1:]])
+        gg = cc.gnss
+        gnss2 = gg._replace(**{f: roll(getattr(gg, f))
+                               for f in _gnss_fields(gg)})
         return (prior, st2, fw2, st2, cc.rho_init,
                 roll(cc.acc), roll(cc.gyr), roll(cc.wvel),
                 roll(cc.dt), roll(cc.smask),
-                roll(cc.imu_valid), roll(cc.wheel_valid), times2)
+                roll(cc.imu_valid), roll(cc.wheel_valid), times2, gnss2)
 
     def second_new(cc):
         prior = marginalize_second_newest(cc.prior, layout)
@@ -403,17 +454,23 @@ def _solve_tick(c: FusedCarry, obs: fwin.FrameObs,
         wv2 = cc.wheel_valid.at[-2].set(
             jnp.minimum(cc.wheel_valid[-2], cc.wheel_valid[-1])).at[-1].set(0.0)
         times2 = cc.times.at[W - 2].set(cc.times[W - 1])
+
+        def mv(b):
+            return b.at[-2].set(b[-1]).at[-1].set(jnp.zeros_like(b[-1]))
+        gg = cc.gnss
+        gnss2 = gg._replace(**{f: mv(getattr(gg, f))
+                               for f in _gnss_fields(gg)})
         return (prior, st2, fw2, st2, cc.rho_init,
-                acc2, gyr2, wvl2, dt2, sm2, iv2, wv2, times2)
+                acc2, gyr2, wvl2, dt2, sm2, iv2, wv2, times2, gnss2)
 
     idx = jnp.where(~full, 0, jnp.where(is_kf, 1, 2))
     (prior, prior_state, fw, state, rho_init, acc, gyr, wvel, dt, smask,
-     imu_valid, wheel_valid, times) = jax.lax.switch(
+     imu_valid, wheel_valid, times, gnss) = jax.lax.switch(
         idx, [no_slide, margin_old, second_new], c)
     c = c._replace(prior=prior, prior_state=prior_state, fw=fw, state=state,
                    rho_init=rho_init, acc=acc, gyr=gyr, wvel=wvel, dt=dt,
                    smask=smask, imu_valid=imu_valid, wheel_valid=wheel_valid,
-                   times=times)
+                   times=times, gnss=gnss)
 
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     rec = jnp.concatenate([
@@ -429,20 +486,57 @@ def _frame_layout(h, w, hd, wd):
     M = MAX_IMU_PER_INTERVAL
     n_img = h * w                      # uint8 gray
     n_depth = hd * wd * 2              # float16 depth (decimated)
-    n_misc = (3 * (M + 1) * 3 + 2 * M + 3) * 4   # f32 imu + t/col/full
+    # f32 imu + t/col/full/gnss_on + prereduced gnss row + rel-motion block
+    n_misc = (3 * (M + 1) * 3 + 2 * M + 4 + GNSS_ROW_LEN + RELMO_LEN) * 4
     return n_img, n_depth, n_misc
 
 
-def pack_frame(img_u8, depth_f16, accp, gyrp, wvlp, dtp, smp, t, col, full):
+# R_pc[9] t_pc[3] K_lo[4] mask_on[1] — auto-dyn-mask side inputs
+RELMO_LEN = 17
+
+
+# u[3S] r0[S] d0[S] onehot[4S] psr_std[S] dopp_std[S] valid[S]
+GNSS_ROW_LEN = 12 * MAX_SATS
+
+
+def _zero_gnss_row() -> np.ndarray:
+    """Empty-epoch row. NOTE the std fields MUST be 1 (not 0): residuals
+    divide by them, and 0 -> inf -> 0*inf = NaN would poison the solve/
+    marginalization even at weight 0 (the GnssTable.empty convention)."""
+    row = np.zeros((GNSS_ROW_LEN,), np.float32)
+    row[9 * MAX_SATS:11 * MAX_SATS] = 1.0      # psr_std, dopp_std
+    return row
+
+
+_ZERO_GNSS_ROW = _zero_gnss_row()
+
+
+def pack_gnss_row(u, r0, d0, oh, ps, ds, va) -> np.ndarray:
+    """Flatten one epoch's host prereduction (``prepare_frame_obs`` output)
+    into the [11*S] row the device tick consumes."""
+    return np.concatenate([
+        np.asarray(u, np.float32).reshape(-1), r0, d0,
+        np.asarray(oh, np.float32).reshape(-1), ps, ds, va,
+    ]).astype(np.float32)
+
+
+def pack_frame(img_u8, depth_f16, accp, gyrp, wvlp, dtp, smp, t, col, full,
+               gnss_row=None, gnss_on=0.0, relmo=None):
     """Host-side: serialize one camera tick's inputs into ONE uint8 buffer.
 
     A remote-TPU tunnel charges ~25 ms latency PER transferred array; the
     naive 10-array tick spends ~200 ms on latency alone. One buffer pays it
     once."""
+    if gnss_row is None:
+        gnss_row = _ZERO_GNSS_ROW
+    if relmo is None:
+        relmo = np.zeros((RELMO_LEN,), np.float32)
     misc = np.concatenate([
         accp.reshape(-1), gyrp.reshape(-1), wvlp.reshape(-1),
         dtp, smp,
-        np.asarray([t, float(col), 1.0 if full else 0.0], np.float32),
+        np.asarray([t, float(col), 1.0 if full else 0.0, gnss_on],
+                   np.float32),
+        gnss_row, relmo,
     ]).astype(np.float32)
     return np.concatenate([
         img_u8.reshape(-1),
@@ -453,12 +547,20 @@ def pack_frame(img_u8, depth_f16, accp, gyrp, wvlp, dtp, smp, t, col, full):
 
 @partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6))
 def _camera_tick(layout, s: FusedStatics, carry: FusedCarry,
-                 h, w, hd, wd, buf, dyn_mask, cam, imu_noise, wheel_noise):
+                 h, w, hd, wd, buf, dyn_mask, cam, imu_noise, wheel_noise,
+                 prev_gray_lo, prev_depth_lo):
     """Tracker + estimator: the whole camera tick, one compiled program.
 
     ``buf`` is the single packed frame buffer from :func:`pack_frame`
     (uint8 image + f16 decimated depth + f32 IMU/meta) — unpacked on device
-    by slicing + bitcast. ONE host→device transfer per tick."""
+    by slicing + bitcast. ONE host→device transfer per tick.
+
+    With ``s.auto_dyn_mask`` the rigid-warp dynamic mask
+    (``frontend/dynamic.py``) is computed INSIDE the tick from the cached
+    previous lo-res frame (``prev_gray_lo``/``prev_depth_lo`` — device
+    arrays returned by the last tick, so nothing extra crosses the tunnel)
+    and OR-ed into ``dyn_mask``.
+    Returns (carry, record, gray_lo, depth_lo)."""
     M = MAX_IMU_PER_INTERVAL
     n_img, n_depth, n_misc = _frame_layout(h, w, hd, wd)
     img = buf[:n_img].reshape(h, w).astype(jnp.float32) * (1.0 / 255.0)
@@ -476,23 +578,44 @@ def _camera_tick(layout, s: FusedStatics, carry: FusedCarry,
     t = misc[o]
     col = misc[o + 1].astype(jnp.int32)
     full = misc[o + 2] > 0.5
+    gnss_on = misc[o + 3]
+    gnss_row = misc[o + 4:o + 4 + GNSS_ROW_LEN]
+    relmo = misc[o + 4 + GNSS_ROW_LEN:o + 4 + GNSS_ROW_LEN + RELMO_LEN]
+
+    sd = s.depth_stride
+    gray_lo = img[::sd, ::sd][:hd, :wd]
+    if s.auto_dyn_mask:
+        R_pc = relmo[0:9].reshape(3, 3)
+        t_pc = relmo[9:12]
+        K_lo = relmo[12:16]
+        mask_on = relmo[16]
+        m = dynamic_mask(prev_gray_lo, prev_depth_lo, gray_lo, depth,
+                         R_pc, t_pc, K_lo, s.dyn_cfg)
+        m = jnp.repeat(jnp.repeat(m, sd, axis=0), sd, axis=1)
+        m = m[:h, :w]
+        pad_h, pad_w = h - m.shape[0], w - m.shape[1]
+        if pad_h or pad_w:
+            m = jnp.pad(m, ((0, pad_h), (0, pad_w)))
+        dyn_mask = jnp.maximum(dyn_mask, m * mask_on)
 
     tc, obs = _tracker_step(carry.tracker, img, depth, dyn_mask, t, cam, s)
     carry = carry._replace(tracker=tc)
     carry, rec = _solve_tick(carry, obs, acc_in, gyr_in, wvel_in, dt_in,
                              smask_in, t, col, full, layout, s,
-                             imu_noise, wheel_noise)
-    return carry, rec
+                             imu_noise, wheel_noise,
+                             gnss_row=gnss_row, gnss_on=gnss_on)
+    return carry, rec, gray_lo, depth
 
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _obs_tick(layout, s: FusedStatics, carry: FusedCarry,
               obs: fwin.FrameObs, acc_in, gyr_in, wvel_in, dt_in, smask_in,
-              t, col, full, imu_noise, wheel_noise):
+              t, col, full, imu_noise, wheel_noise, gnss_row, gnss_on):
     """Estimator-only fused tick (pre-tracked observations) — used by the
     equivalence tests against VioEstimator."""
     return _solve_tick(carry, obs, acc_in, gyr_in, wvel_in, dt_in, smask_in,
-                       t, col, full, layout, s, imu_noise, wheel_noise)
+                       t, col, full, layout, s, imu_noise, wheel_noise,
+                       gnss_row=gnss_row, gnss_on=gnss_on)
 
 
 class FusedVio:
@@ -514,7 +637,6 @@ class FusedVio:
         (f16) — RGB-D depth tolerates it, the tunnel doesn't tolerate full
         f32 frames. ``pipelined``: overlap the record readback with the next
         tick's dispatch (outputs lag one frame; call :meth:`flush` at end)."""
-        assert not cfg.use_gnss, "GNSS path uses VioEstimator (host-rate)"
         from ..frontend.tracker import FeatureTracker
         self.cfg = cfg
         self.tcfg = tracker_cfg
@@ -542,7 +664,23 @@ class FusedVio:
             stationary_imu_var=cfg.stationary_imu_var,
             min_parallax=cfg.min_parallax, min_tracked=cfg.min_tracked,
             outlier_px=cfg.outlier_px, g_norm=cfg.g_norm,
-            depth_stride=depth_stride)
+            depth_stride=depth_stride,
+            gnss_low_speed=cfg.gnss_low_speed,
+            auto_dyn_mask=auto_dyn_mask,
+            dyn_cfg=dyn_cfg or DynMaskConfig())
+        # host-side GNSS plumbing (filter + SPP alignment; prereduction is
+        # f64 numpy at epoch rate — the device consumes prereduced rows)
+        self._last_p = np.zeros(3, np.float32)
+        self.gnss_refine_left = 0
+        if cfg.use_gnss:
+            from ..gnss.factors import GnssQualityFilter
+            self.gnss_filter = GnssQualityFilter(
+                psr_std_thres=cfg.gnss_psr_std_thres,
+                dopp_std_thres=cfg.gnss_dopp_std_thres,
+                elev_thres_deg=cfg.gnss_elev_thres_deg,
+                track_thres=cfg.gnss_track_thres)
+        self._statics_refine = self.statics._replace(
+            vio=cfg.vio._replace(refine_gnss_alignment=True))
         self.carry: FusedCarry | None = None
         self.frame_count = 0
         self.dispatch_count = 0      # fused device dispatches (for tests)
@@ -604,6 +742,9 @@ class FusedVio:
             prev_pyr=pyr,
             prev_t=jnp.asarray(tr.prev_t or 0.0, jnp.float32),
             frame_idx=jnp.asarray(tr._frame_idx, jnp.int32))
+        # GNSS: take over the legacy estimator's alignment progress and its
+        # prereduced window table (rows from warm-up-era epochs included)
+        self.gnss_refine_left = getattr(lg, "gnss_refine_left", 0)
         return FusedCarry(
             tracker=tc, state=lg.state, fw=lg.fw, rho_init=lg.rho_init,
             acc=jnp.asarray(lg.bufs.acc), gyr=jnp.asarray(lg.bufs.gyr),
@@ -612,7 +753,8 @@ class FusedVio:
             imu_valid=jnp.asarray(lg.imu_valid),
             wheel_valid=jnp.asarray(lg.wheel_valid),
             prior=lg.prior, prior_state=lg.prior_state,
-            times=jnp.asarray(times))
+            times=jnp.asarray(times),
+            gnss=lg._gnss_table())
 
     def _reboot(self, t):
         """Visual-failure reboot: restart the window from the latest carry
@@ -644,6 +786,7 @@ class FusedVio:
     def _make_output(self, t, rec_dev) -> VioOutput:
         rec = TickRecord.unpack(np.asarray(rec_dev))   # ONE readback
         self._last_q, self._last_v = rec.q, rec.v
+        self._last_p = rec.p
         out = VioOutput(
             t=t, p=rec.p, q=rec.q, v=rec.v, initialized=True,
             is_keyframe=rec.is_kf, stationary=rec.stationary,
@@ -712,8 +855,51 @@ class FusedVio:
         self._prev_lo = (g_dev, d_dev)
         return mask
 
+    # ------------------------------------------------------------------
+    def _gnss_tick_inputs(self, gnss_meas):
+        """Host-side GNSS work for one fused tick: quality-filter the
+        epoch, keep trying SPP alignment until ready (using the latest
+        read-back state — one tick stale in pipelined mode, irrelevant at
+        alignment's coarse scale), prereduce the row against the anchor.
+
+        Returns (gnss_row | None, gnss_on, statics) — statics switches to
+        the refine variant while ``gnss_refine_left`` counts down (the
+        reference frees yaw/anchor for a few ticks after alignment)."""
+        cfg = self.cfg
+        lg = self.legacy
+        statics = self.statics
+        if not cfg.use_gnss:
+            return None, 0.0, statics
+        row = None
+        if gnss_meas:
+            gnss_meas = self.gnss_filter.filter(gnss_meas)
+        if gnss_meas and not lg.gnss_ready:
+            from ..gnss.align import align_attempt
+            res = align_attempt(gnss_meas, self._last_v, self._last_p,
+                                lg.gnss_align_buf,
+                                cfg.gnss_align_min_speed,
+                                cfg.gnss_align_min_epochs)
+            if res is not None:
+                yaw, anchor = res
+                lg.gnss_anchor = anchor
+                lg.gnss_ready = True
+                self.gnss_refine_left = cfg.gnss_refine_ticks
+                self.carry = self.carry._replace(
+                    state=self.carry.state._replace(
+                        gyaw=jnp.asarray(yaw, jnp.float32)))
+        if gnss_meas and lg.gnss_anchor is not None:
+            from ..gnss.factors import prepare_frame_obs
+            row = pack_gnss_row(*prepare_frame_obs(gnss_meas,
+                                                   lg.gnss_anchor))
+        gnss_on = 1.0 if lg.gnss_ready else 0.0
+        if self.gnss_refine_left > 0:
+            statics = self._statics_refine
+            self.gnss_refine_left -= 1
+        return row, gnss_on, statics
+
     def process_image(self, t: float, img, depth, imu,
-                      wheel_vel=None, dyn_mask=None) -> VioOutput | None:
+                      wheel_vel=None, dyn_mask=None,
+                      gnss_meas=None) -> VioOutput | None:
         """One camera tick from raw image + depth + IMU chunk.
 
         ``img``: [H, W] uint8 or float in [0, 1]; ``depth``: [H, W] metres.
@@ -724,20 +910,25 @@ class FusedVio:
             img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
         else:
             img_u8 = img
-        if (self.auto_dyn_mask and dyn_mask is None and depth is not None):
-            dyn_mask = self._compute_auto_mask(img_u8, depth, imu)
         if self.carry is None:
+            # warm-up path still computes the mask as its own dispatch —
+            # perf-irrelevant for <= NUM_FRAMES frames
+            if (self.auto_dyn_mask and dyn_mask is None
+                    and depth is not None):
+                dyn_mask = self._compute_auto_mask(img_u8, depth, imu)
             img_f = jnp.asarray(img_u8, jnp.float32) * (1.0 / 255.0)
             obs = self.tracker.track(t, img_f,
                                      jnp.asarray(depth, jnp.float32)
                                      if depth is not None else None,
                                      dyn_mask=dyn_mask)
-            out = self.legacy.process_frame(t, obs, imu, wheel_vel=wheel_vel)
+            out = self.legacy.process_frame(t, obs, imu, wheel_vel=wheel_vel,
+                                            gnss_meas=gnss_meas)
             self.frame_count = self.legacy.frame_count
             if self.legacy.initialized:
                 self.carry = self._build_carry()
             return out
 
+        gnss_row, gnss_on, statics = self._gnss_tick_inputs(gnss_meas)
         s = self.depth_stride
         depth_lo = np.ascontiguousarray(
             np.asarray(depth, np.float16)[::s, ::s])
@@ -750,12 +941,32 @@ class FusedVio:
             dyn_mask = self._zero_mask
         h, w = img_u8.shape
         hd, wd = depth_lo.shape
+        # auto-mask side inputs: host-predicted rel motion + cached lo-res
+        # previous frame (device arrays from the last tick — free)
+        relmo = None
+        if self.auto_dyn_mask:
+            R_pc, t_pc = self._predict_rel_motion(imu)
+            K_lo = np.array([float(self.cam.fx), float(self.cam.fy),
+                             float(self.cam.cx), float(self.cam.cy)],
+                            np.float32) / s
+            mask_on = 1.0 if self._prev_lo is not None else 0.0
+            relmo = np.concatenate([
+                R_pc.reshape(-1), t_pc, K_lo,
+                np.asarray([mask_on], np.float32)]).astype(np.float32)
+        if self._prev_lo is None:
+            prev_g = jnp.zeros((hd, wd), jnp.float32)
+            prev_d = jnp.zeros((hd, wd), jnp.float32)
+        else:
+            prev_g, prev_d = self._prev_lo
         buf = pack_frame(img_u8, depth_lo, accp, gyrp, wvlp, dtp, smp,
-                         t, col, full)
-        self.carry, rec = _camera_tick(
-            self.layout, self.statics, self.carry, h, w, hd, wd,
+                         t, col, full, gnss_row=gnss_row, gnss_on=gnss_on,
+                         relmo=relmo)
+        self.carry, rec, g_lo, d_lo = _camera_tick(
+            self.layout, statics, self.carry, h, w, hd, wd,
             buf, dyn_mask,
-            self.cam, self._imu_noise_dev, self._wheel_noise_dev)
+            self.cam, self._imu_noise_dev, self._wheel_noise_dev,
+            prev_g, prev_d)
+        self._prev_lo = (g_lo, d_lo)
         self.dispatch_count += 1
         if self.frame_count < NUM_FRAMES:
             self.frame_count += 1
@@ -763,23 +974,28 @@ class FusedVio:
 
     # ------------------------------------------------------------------
     def process_obs(self, t: float, obs: fwin.FrameObs, imu,
-                    wheel_vel=None) -> VioOutput | None:
+                    wheel_vel=None, gnss_meas=None) -> VioOutput | None:
         """Fused tick from pre-tracked observations (test/equivalence path).
         Uses the same device step minus the tracker."""
         if self.carry is None:
-            out = self.legacy.process_frame(t, obs, imu, wheel_vel=wheel_vel)
+            out = self.legacy.process_frame(t, obs, imu, wheel_vel=wheel_vel,
+                                            gnss_meas=gnss_meas)
             self.frame_count = self.legacy.frame_count
             if self.legacy.initialized:
                 self.carry = self._build_carry()
             return out
+        gnss_row, gnss_on, statics = self._gnss_tick_inputs(gnss_meas)
+        if gnss_row is None:
+            gnss_row = _ZERO_GNSS_ROW
         accp, gyrp, wvlp, dtp, smp = self._pad_imu(imu, wheel_vel)
         col = min(self.frame_count, NUM_FRAMES - 1)
         full = self.frame_count >= NUM_FRAMES
         self.carry, rec = _obs_tick(
-            self.layout, self.statics, self.carry, obs,
+            self.layout, statics, self.carry, obs,
             accp, gyrp, wvlp, dtp, smp,
             np.float32(t), np.int32(col), np.bool_(full),
-            self._imu_noise_dev, self._wheel_noise_dev)
+            self._imu_noise_dev, self._wheel_noise_dev,
+            jnp.asarray(gnss_row), np.float32(gnss_on))
         self.dispatch_count += 1
         if self.frame_count < NUM_FRAMES:
             self.frame_count += 1

@@ -203,3 +203,27 @@ def test_preint_jit_vmap():
     assert out.dp.shape == (B, 3)
     assert out.cov.shape == (B, 15, 15)
     assert np.all(np.isfinite(np.asarray(out.cov)))
+
+
+# ------------------------------------------------- parallel-form parity
+def test_parallel_preintegrate_matches_sequential(rng):
+    from ground_fusion2_tpu.sensors.imu_preint import (
+        ImuNoise, preintegrate, preintegrate_sequential)
+    import jax.numpy as jnp
+    n = 50
+    acc = jnp.asarray(rng.normal(size=(n + 1, 3)) * 2 + [0, 0, 9.81],
+                      jnp.float32)
+    gyr = jnp.asarray(rng.normal(size=(n + 1, 3)) * 0.5, jnp.float32)
+    dt = jnp.full((n,), 0.005, jnp.float32)
+    mask = jnp.asarray((np.arange(n) < 37), jnp.float32)
+    ba = jnp.asarray([0.01, -0.02, 0.005], jnp.float32)
+    bg = jnp.asarray([0.002, 0.001, -0.003], jnp.float32)
+    a = preintegrate(acc, gyr, dt, ba, bg, ImuNoise(), mask=mask)
+    b = preintegrate_sequential(acc, gyr, dt, ba, bg, ImuNoise(), mask=mask)
+    np.testing.assert_allclose(np.asarray(a.dp), np.asarray(b.dp), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.dq), np.asarray(b.dq), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.dv), np.asarray(b.dv), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.cov), np.asarray(b.cov),
+                               atol=1e-6, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(a.jac), np.asarray(b.jac),
+                               atol=1e-5, rtol=1e-3)
