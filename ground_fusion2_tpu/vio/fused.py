@@ -809,6 +809,13 @@ class FusedVio:
             return None
         return self._make_output(prev[0], prev[1])
 
+    @property
+    def initialized(self) -> bool:
+        """Estimator-API parity with VioEstimator (true once the window
+        initialized — whether the state lives in the legacy object or has
+        moved into the device carry)."""
+        return self.carry is not None or self.legacy.initialized
+
     def flush(self) -> VioOutput | None:
         """Drain the pipelined in-flight record (call at sequence end)."""
         if self._inflight is None:

@@ -137,14 +137,14 @@ def test_imu_wheel_depth_roundtrip(tmp_path):
 
     recs = list(read_log(path))
     assert [r[0] for r in recs] == [nb.REC_IMU, nb.REC_WHEEL, nb.REC_DEPTH]
-    (_, t0, (acc, gyr)), (_, t1, vel), (_, t2, dep_raw) = recs
+    (_, t0, (acc, gyr)), (_, t1, vel), (_, t2, dep) = recs
     np.testing.assert_allclose(acc, [0.1, -0.2, 9.81], rtol=1e-6)
     np.testing.assert_allclose(gyr, [0.01, 0.02, -0.03], rtol=1e-6)
     np.testing.assert_allclose(vel, [0.5, 0.0, 0.0], rtol=1e-6)
-    hw = np.frombuffer(dep_raw[:8], np.uint32)
-    assert tuple(hw) == (3, 4)
-    got = np.frombuffer(dep_raw[8:], np.uint16).reshape(3, 4)
-    np.testing.assert_array_equal(got, depth_mm)
+    # read_log decodes depth records to metres (mm/1e3), [h, w] f32
+    assert dep.shape == (3, 4) and dep.dtype == np.float32
+    np.testing.assert_allclose(dep, depth_mm.astype(np.float32) * 1e-3,
+                               rtol=1e-6)
 
 
 def test_point_filter_and_blind_gates():

@@ -18,9 +18,13 @@ from ground_fusion2_tpu.vio.estimator import EstimatorConfig
 @pytest.mark.slow
 def test_full_lvio_corridor():
     duration, imu_rate, cam_rate, scan_rate = 10.0, 200.0, 10.0, 10.0
+    # wobble: a perfectly straight, vibration-free trajectory leaves the
+    # IMU biases unobservable and the estimate bistable under fp dust
+    # (either backend can land in a slow-drift basin); real ground robots
+    # always carry this much motion texture
     traj = sim.make_planar_trajectory(
         duration=duration, imu_rate=imu_rate, speed=0.8, yaw_rate=0.0,
-        static_time=1.2, ramp_time=0.5)
+        wobble=0.03, static_time=1.2, ramp_time=0.5)
     traj.p[:, 2] += 1.0
     rng = np.random.default_rng(0)
 
