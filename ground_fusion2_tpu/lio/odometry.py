@@ -193,6 +193,10 @@ class LidarOdometry:
         self.frame_idx += 1
         self.last_cloud = (p_w, m_w)
         if self.pipelined:
+            try:
+                rec.copy_to_host_async()   # overlap the tunnel readback
+            except AttributeError:
+                pass
             prev, self._inflight = self._inflight, (t, rec)
             if prev is None:
                 return None

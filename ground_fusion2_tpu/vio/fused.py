@@ -582,9 +582,9 @@ def _camera_tick(layout, s: FusedStatics, carry: FusedCarry,
     gnss_row = misc[o + 4:o + 4 + GNSS_ROW_LEN]
     relmo = misc[o + 4 + GNSS_ROW_LEN:o + 4 + GNSS_ROW_LEN + RELMO_LEN]
 
-    sd = s.depth_stride
-    gray_lo = img[::sd, ::sd][:hd, :wd]
     if s.auto_dyn_mask:
+        sd = s.depth_stride
+        gray_lo = img[::sd, ::sd][:hd, :wd]
         R_pc = relmo[0:9].reshape(3, 3)
         t_pc = relmo[9:12]
         K_lo = relmo[12:16]
@@ -597,6 +597,10 @@ def _camera_tick(layout, s: FusedStatics, carry: FusedCarry,
         if pad_h or pad_w:
             m = jnp.pad(m, ((0, pad_h), (0, pad_w)))
         dyn_mask = jnp.maximum(dyn_mask, m * mask_on)
+    else:
+        # mask off: keep the lo-res cache channel degenerate so the tick
+        # carries no extra outputs
+        gray_lo = jnp.zeros((1, 1), jnp.float32)
 
     tc, obs = _tracker_step(carry.tracker, img, depth, dyn_mask, t, cam, s)
     carry = carry._replace(tracker=tc)
@@ -604,7 +608,8 @@ def _camera_tick(layout, s: FusedStatics, carry: FusedCarry,
                              smask_in, t, col, full, layout, s,
                              imu_noise, wheel_noise,
                              gnss_row=gnss_row, gnss_on=gnss_on)
-    return carry, rec, gray_lo, depth
+    depth_ret = depth if s.auto_dyn_mask else jnp.zeros((1, 1), jnp.float32)
+    return carry, rec, gray_lo, depth_ret
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -801,9 +806,17 @@ class FusedVio:
 
     def _emit(self, t, rec_dev) -> VioOutput | None:
         """Synchronous: unpack now. Pipelined: return the PREVIOUS tick's
-        output (its readback overlaps this tick's device work)."""
+        output (its readback overlaps this tick's device work).
+
+        ``copy_to_host_async`` starts the tunnel readback immediately —
+        without it the ~10-25 ms device->host latency lands on the critical
+        path when the next tick unpacks the record."""
         if not self.pipelined:
             return self._make_output(t, rec_dev)
+        try:
+            rec_dev.copy_to_host_async()
+        except AttributeError:
+            pass
         prev, self._inflight = self._inflight, (t, rec_dev)
         if prev is None:
             return None
@@ -960,7 +973,9 @@ class FusedVio:
             relmo = np.concatenate([
                 R_pc.reshape(-1), t_pc, K_lo,
                 np.asarray([mask_on], np.float32)]).astype(np.float32)
-        if self._prev_lo is None:
+        if not self.auto_dyn_mask:
+            prev_g = prev_d = jnp.zeros((1, 1), jnp.float32)  # degenerate
+        elif self._prev_lo is None:
             prev_g = jnp.zeros((hd, wd), jnp.float32)
             prev_d = jnp.zeros((hd, wd), jnp.float32)
         else:
