@@ -112,7 +112,10 @@ def load_config(path: str | Path) -> SystemYamlConfig:
         cam_intrinsics=cam, tic=tic, ric=ric, t_il=t_il, r_il=r_il,
         t_io=t_io, r_io=r_io,
         use_lidar=bool(raw.get("lidar_enable", 1)),
-        lidar_type=_lidar_type(raw.get("lidar_type", "avia")),
+        # accepted at top level or nested under lio: (mirrors the reference's
+        # lio/config/*.yaml preprocess.lidar_type placement)
+        lidar_type=_lidar_type(lio_raw.get("lidar_type",
+                                           raw.get("lidar_type", "avia"))),
         use_gnss=use_gnss, use_wheel=use_wheel, raw=raw)
 
 def _lidar_type(name):

@@ -74,3 +74,53 @@ def test_m2dgr_config():
     assert not cfg.estimator.vio.use_wheel
     assert abs(cfg.cam_intrinsics["fx"] - 605.687407) < 1e-3
     assert abs(cfg.t_il[0] - 0.27255) < 1e-6
+
+
+def test_nested_lidar_type_routes_decoder():
+    """lidar_type nested under lio: (the reference's lio/config placement)
+    must reach the decoder select — m2dgrp is a VLP-16 rig, not AVIA."""
+    from ground_fusion2_tpu.data.cloud_convert import LidarType
+
+    cfg = load_config("configs/m2dgrp.yaml")
+    assert cfg.lidar_type == LidarType.VELO32   # lio.lidar_type: 2
+
+
+def test_idc_config():
+    """IDC rig: camera+IMU+wheel, no lidar, distorted pinhole
+    (reference config/realsense/idc_rs.yaml + idc_cam.yaml)."""
+    cfg = load_config("configs/idc.yaml")
+    assert not cfg.use_lidar
+    assert cfg.use_wheel
+    assert abs(cfg.cam_intrinsics["fx"] - 620.9727790937) < 1e-6
+    assert abs(cfg.cam_intrinsics["k1"] - 0.148657493) < 1e-6
+    # calibrated (non-axis-aligned) camera mount must survive the load
+    assert abs(cfg.ric[0, 0] - 0.99957087) < 1e-8
+
+
+def test_idc_distortion_reaches_camera_object():
+    """run_from_log must build a radtan Pinhole for distorted rigs so the
+    fused tick undistorts through it (not an ideal-pinhole fallback)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+    from run_from_log import system_config_from_yaml
+
+    cfg, tic, ric = system_config_from_yaml("configs/idc.yaml")
+    assert cfg.cam is not None
+    assert abs(float(cfg.cam.k1) - 0.148657493) < 1e-6
+    assert abs(float(cfg.cam.fx) - 620.9727791) < 1e-4
+    # undistorted rigs keep the None default (ideal pinhole built in-system)
+    cfg2, _, _ = system_config_from_yaml("configs/m3dgr.yaml")
+    assert cfg2.cam is None
+
+
+def test_m3dgr_sim_config():
+    """Isaac-Sim variant (reference config/realsense/m3dgr_sim.yaml):
+    velodyne lidar at +0.1 m z, ideal pinhole, hi-noise sim IMU."""
+    from ground_fusion2_tpu.data.cloud_convert import LidarType
+
+    cfg = load_config("configs/m3dgr_sim.yaml")
+    assert cfg.lidar_type == LidarType.VELO32
+    assert abs(cfg.t_il[2] - 0.1) < 1e-9
+    assert abs(cfg.cam_intrinsics["fx"] - 554.2562255859375) < 1e-9
+    assert cfg.estimator.imu_noise.acc_n > 0.1   # sim IMU is noisy

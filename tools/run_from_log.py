@@ -79,6 +79,32 @@ class ImuBuffer:
             del self.gyr[:keep], self.wvel[:keep]
 
 
+def system_config_from_yaml(config_path: str):
+    """Dataset YAML -> (SystemConfig, tic, ric).
+
+    Builds a distorted camera object when the config carries radtan
+    coefficients (e.g. ``configs/idc.yaml`` from the reference's
+    ``idc_cam.yaml``) so the fused tick undistorts through it.
+    """
+    from ground_fusion2_tpu.config.loader import load_config
+    from ground_fusion2_tpu.system import SystemConfig
+
+    loaded = load_config(config_path)
+    cfg = SystemConfig(vio=loaded.estimator)
+    if loaded.lio is not None:
+        cfg.lio = loaded.lio
+    ci = loaded.cam_intrinsics
+    if ci:
+        cfg.cam_intr = (ci.get("fx", 460.0), ci.get("fy", 460.0),
+                        ci.get("cx", 320.0), ci.get("cy", 240.0))
+        if any(ci.get(k) for k in ("k1", "k2", "p1", "p2")):
+            from ground_fusion2_tpu.core.cameras import Pinhole
+            cfg.cam = Pinhole.create(
+                *cfg.cam_intr, k1=ci.get("k1", 0.0), k2=ci.get("k2", 0.0),
+                p1=ci.get("p1", 0.0), p2=ci.get("p2", 0.0))
+    return cfg, loaded.tic, loaded.ric
+
+
 def run_log(log_path: str, out_dir: str, config: str | None = None,
             use_lidar: bool = True, use_wheel: bool = False,
             every: int = 2, pair_tol: float = 0.003,
@@ -90,16 +116,7 @@ def run_log(log_path: str, out_dir: str, config: str | None = None,
     from ground_fusion2_tpu.system import GroundFusion, SystemConfig
 
     if config:
-        from ground_fusion2_tpu.config.loader import load_config
-        loaded = load_config(config)
-        cfg = SystemConfig(vio=loaded.estimator)
-        if loaded.lio is not None:
-            cfg.lio = loaded.lio
-        ci = loaded.cam_intrinsics
-        if ci:
-            cfg.cam_intr = (ci.get("fx", 460.0), ci.get("fy", 460.0),
-                            ci.get("cx", 320.0), ci.get("cy", 240.0))
-        tic, ric = loaded.tic, loaded.ric
+        cfg, tic, ric = system_config_from_yaml(config)
     else:
         cfg = SystemConfig()
         tic = ric = None
