@@ -119,6 +119,68 @@ def _project_all(params, obj3, V, N):
     return jnp.stack([fx * xd + cx, fy * yd + cy], axis=-1)
 
 
+def _project_all_full(params, obj3, V, N):
+    """params: [12 + V*6] (fx fy cx cy k1..k6 p1 p2 + poses) -> [V, N, 2]
+    through the full rational model (camodocal PinholeFullCamera)."""
+    from ..core.cameras import PinholeFull
+    cam = PinholeFull(*params[:12])
+    pose = params[12:].reshape(V, 6)
+    Rv = lie.quat_to_mat(lie.quat_exp(pose[:, 3:]))
+    p_c = jnp.einsum("vij,nj->vni", Rv, obj3) + pose[:, None, :3]
+    z = jnp.maximum(p_c[..., 2], 1e-3)
+    xy = p_c[..., :2] / z[..., None]
+    xyd = cam.distort(xy)
+    return jnp.stack([cam.fx * xyd[..., 0] + cam.cx,
+                      cam.fy * xyd[..., 1] + cam.cy], axis=-1)
+
+
+class CalibFullResult(NamedTuple):
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    k: np.ndarray       # [6] k1..k6
+    p1: float
+    p2: float
+    rms_px: float
+
+
+def calibrate_pinhole_full(obj_xy: np.ndarray, img_uv: np.ndarray,
+                           iters: int = 40) -> CalibFullResult:
+    """Full-rational-model calibration (camodocal ``PinholeFullCamera``):
+    Zhang closed-form init + one batched jitted LM over
+    (fx fy cx cy k1..k6 p1 p2 + V×6 poses)."""
+    V, N, _ = img_uv.shape
+    Hs = [homography_dlt(obj_xy, img_uv[v]) for v in range(V)]
+    fx, fy, cx, cy = zhang_intrinsics(Hs)
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    poses = np.zeros((V, 6), np.float64)
+    for v in range(V):
+        R, t = _pose_from_homography(Hs[v], K)
+        poses[v, :3] = t
+        poses[v, 3:] = np.asarray(lie.quat_log(lie.mat_to_quat(
+            jnp.asarray(R, jnp.float32))))
+
+    obj3 = jnp.asarray(
+        np.concatenate([obj_xy, np.zeros((N, 1))], 1), jnp.float32)
+    uv = jnp.asarray(img_uv, jnp.float32)
+    x0 = jnp.asarray(np.concatenate(
+        [[fx, fy, cx, cy], np.zeros(8), poses.reshape(-1)]), jnp.float32)
+
+    def residuals(delta):
+        r = (_project_all_full(x0 + delta, obj3, V, N) - uv).reshape(-1)
+        return r, jnp.ones_like(r)
+
+    out = lm_solve(residuals, int(x0.shape[0]), max_iters=iters)
+    params = np.asarray(x0 + out.delta, np.float64)
+    r_fin = np.asarray(_project_all_full(jnp.asarray(params, jnp.float32),
+                                         obj3, V, N)) - img_uv
+    rms = float(np.sqrt(np.mean(np.sum(r_fin ** 2, axis=-1))))
+    return CalibFullResult(
+        fx=params[0], fy=params[1], cx=params[2], cy=params[3],
+        k=params[4:10], p1=params[10], p2=params[11], rms_px=rms)
+
+
 def calibrate_pinhole(obj_xy: np.ndarray, img_uv: np.ndarray,
                       iters: int = 30) -> CalibResult:
     """Calibrate from V chessboard views.

@@ -44,6 +44,55 @@ class SystemYamlConfig:
     lidar_type: object      # data.cloud_convert.LidarType (decoder select)
     raw: dict
 
+    def make_camera(self):
+        """Build the camera object named by ``camera.model`` (the reference
+        routes this through camodocal's ``model_type`` YAML key). Returns
+        ``None`` for an undistorted pinhole — the system builds an ideal
+        pinhole from ``cam_intrinsics`` in that case."""
+        ci = self.cam_intrinsics
+        model = str(ci.get("model", "pinhole")).lower()
+        intr = (ci.get("fx", 460.0), ci.get("fy", 460.0),
+                ci.get("cx", 320.0), ci.get("cy", 240.0))
+        if model == "equidistant":
+            from ..core.cameras import Equidistant
+            return Equidistant.create(
+                *intr, k2=ci.get("k2", 0.0), k3=ci.get("k3", 0.0),
+                k4=ci.get("k4", 0.0), k5=ci.get("k5", 0.0))
+        if model == "mei":
+            from ..core.cameras import Mei
+            return Mei.create(
+                ci.get("xi", 1.0), *intr,
+                k1=ci.get("k1", 0.0), k2=ci.get("k2", 0.0),
+                p1=ci.get("p1", 0.0), p2=ci.get("p2", 0.0))
+        if model == "pinhole_full":
+            from ..core.cameras import PinholeFull
+            return PinholeFull.create(
+                *intr, **{k: ci.get(k, 0.0)
+                          for k in ("k1", "k2", "k3", "k4", "k5", "k6",
+                                    "p1", "p2")})
+        if model != "pinhole":
+            raise ValueError(f"unknown camera.model: {model!r}")
+        if any(ci.get(k) for k in ("k1", "k2", "p1", "p2")):
+            from ..core.cameras import Pinhole
+            return Pinhole.create(
+                *intr, k1=ci.get("k1", 0.0), k2=ci.get("k2", 0.0),
+                p1=ci.get("p1", 0.0), p2=ci.get("p2", 0.0))
+        return None
+
+    def make_tracker(self):
+        """TrackerConfig wired from the camera block: ``depth_range``
+        (reference depth_threshold gate, ``feature_manager.cpp:753``),
+        ``equalize`` (CLAHE, ``rosNodeTest.cpp:271-276``) and the focal
+        length used to scale the pixel-space RANSAC/outlier thresholds."""
+        from ..frontend.tracker import TrackerConfig
+        ci = self.cam_intrinsics
+        dr = ci.get("depth_range", (0.1, 7.0))
+        return TrackerConfig(
+            num_slots=self.estimator.num_feats,
+            depth_range=(float(dr[0]), float(dr[1])),
+            equalize=bool(ci.get("equalize", 0)),
+            focal=float(ci.get("fx", 460.0)))
+
 
 def load_config(path: str | Path) -> SystemYamlConfig:
     raw = yaml.safe_load(Path(path).read_text())
@@ -74,6 +123,13 @@ def load_config(path: str | Path) -> SystemYamlConfig:
         estimate_extrinsic=bool(est_raw.get("estimate_extrinsic", 0)),
         extrinsic_type=int(est_raw.get("extrinsic_type", 3)),
         estimate_td=bool(est_raw.get("estimate_td", 0)),
+        # reference estimate_wheel_intrinsic / estimate_wheel_extrinsic
+        # (parameters.cpp:243,314)
+        estimate_wheel_intrinsic=bool(
+            est_raw.get("estimate_wheel_intrinsic", 0)),
+        estimate_wheel_extrinsic=bool(
+            est_raw.get("estimate_wheel_extrinsic", 0)),
+        wheel_extrinsic_type=int(est_raw.get("extrinsic_type_wheel", 3)),
         g_norm=raw.get("g_norm", 9.81))
     estimator = EstimatorConfig(
         num_feats=vio.num_feats, vio=vio,
@@ -93,6 +149,9 @@ def load_config(path: str | Path) -> SystemYamlConfig:
             deg_sigma_min=lio_raw.get("deg_sigma_min", 7.0),
             deg_sigma_mean=lio_raw.get("deg_sigma_mean", 10.0)),
         max_keypoints=lio_raw.get("max_num_residuals", 2048),
+        # spatial keypoint subsample grid (reference subSampleFrame 0.05,
+        # main_eskf.cpp:89; hardcoded there, a key here)
+        keypoint_cell=lio_raw.get("sub_sample", 0.05),
         g_norm=raw.get("g_norm", 9.81))
 
     def mat(key, default):

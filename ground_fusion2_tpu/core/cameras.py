@@ -6,6 +6,8 @@ every shipped dataset config:
 
 * :class:`Pinhole` — pinhole + radial-tangential (k1 k2 p1 p2); camodocal
   ``PinholeCamera`` (``camera_models/src/camera_models/PinholeCamera.cc``).
+* :class:`PinholeFull` — pinhole + full rational model (k1..k6 p1 p2);
+  camodocal ``PinholeFullCamera``.
 * :class:`Equidistant` — Kannala-Brandt fisheye (k2..k5); camodocal
   ``EquidistantCamera``.
 * :class:`Mei` — unified omnidirectional (xi + radtan); camodocal ``CataCamera``.
@@ -67,6 +69,73 @@ class Pinhole(NamedTuple):
 
         def body(_, xy):
             # fixed-point: xy = xy_d - distortion_residual(xy)
+            d = self.distort(xy) - xy
+            return xy_d - d
+
+        xy = jax.lax.fori_loop(0, iters, body, xy_d)
+        ray = jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
+        return ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+
+class PinholeFull(NamedTuple):
+    """Pinhole + full OpenCV *rational* distortion model (k1..k6, p1, p2):
+    camodocal ``PinholeFullCamera``
+    (``camera_models/src/camera_models/PinholeFullCamera.cc:754-781``):
+
+        radial = (1 + k1 r² + k2 r⁴ + k3 r⁶) / (1 + k4 r² + k5 r⁴ + k6 r⁶)
+
+    plus the usual tangential (p1, p2) terms."""
+
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    k1: jax.Array = 0.0
+    k2: jax.Array = 0.0
+    k3: jax.Array = 0.0
+    k4: jax.Array = 0.0
+    k5: jax.Array = 0.0
+    k6: jax.Array = 0.0
+    p1: jax.Array = 0.0
+    p2: jax.Array = 0.0
+
+    @staticmethod
+    def create(fx, fy, cx, cy, k1=0.0, k2=0.0, k3=0.0, k4=0.0, k5=0.0,
+               k6=0.0, p1=0.0, p2=0.0, dtype=jnp.float32):
+        vals = [jnp.asarray(v, dtype=dtype)
+                for v in (fx, fy, cx, cy, k1, k2, k3, k4, k5, k6, p1, p2)]
+        return PinholeFull(*vals)
+
+    def distort(self, xy: jax.Array) -> jax.Array:
+        x, y = xy[..., 0], xy[..., 1]
+        r2 = x * x + y * y
+        r4 = r2 * r2
+        r6 = r4 * r2
+        cdist = 1.0 + self.k1 * r2 + self.k2 * r4 + self.k3 * r6
+        icdist2 = 1.0 / (1.0 + self.k4 * r2 + self.k5 * r4 + self.k6 * r6)
+        a1 = 2.0 * x * y
+        a2 = r2 + 2.0 * x * x
+        a3 = r2 + 2.0 * y * y
+        return jnp.stack([x * cdist * icdist2 + self.p1 * a1 + self.p2 * a2,
+                          y * cdist * icdist2 + self.p1 * a3 + self.p2 * a1],
+                         axis=-1)
+
+    def project(self, p: jax.Array) -> tuple[jax.Array, jax.Array]:
+        z = p[..., 2]
+        valid = z > 1e-6
+        inv_z = 1.0 / jnp.where(valid, z, 1.0)
+        xy = p[..., :2] * inv_z[..., None]
+        xyd = self.distort(xy)
+        u = self.fx * xyd[..., 0] + self.cx
+        v = self.fy * xyd[..., 1] + self.cy
+        return jnp.stack([u, v], axis=-1), valid
+
+    def lift(self, uv: jax.Array, iters: int = 10) -> jax.Array:
+        mx = (uv[..., 0] - self.cx) / self.fx
+        my = (uv[..., 1] - self.cy) / self.fy
+        xy_d = jnp.stack([mx, my], axis=-1)
+
+        def body(_, xy):
             d = self.distort(xy) - xy
             return xy_d - d
 

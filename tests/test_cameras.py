@@ -78,3 +78,30 @@ def test_scaramuzza_roundtrip(rng):
     p_dir = np.asarray(p / jnp.linalg.norm(p, axis=-1, keepdims=True))
     cos = np.sum(np.asarray(ray) * p_dir, axis=-1)
     assert (cos[np.asarray(ok)] > 1 - 1e-5).all(), cos.min()
+
+
+def test_pinhole_full_roundtrip(rng):
+    from ground_fusion2_tpu.core.cameras import PinholeFull
+    cam = PinholeFull.create(460.0, 460.0, 320.0, 240.0,
+                             k1=-0.28, k2=0.07, k3=-0.005,
+                             k4=-0.01, k5=0.002, k6=-0.0005,
+                             p1=1e-4, p2=-2e-4)
+    p = make_points(rng)
+    uv, valid = cam.project(p)
+    assert bool(valid.all())
+    ray = cam.lift(uv)
+    dirs = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
+    np.testing.assert_allclose(ray, dirs, atol=1e-4)
+
+
+def test_pinhole_full_reduces_to_pinhole(rng):
+    """k3..k6 = 0 must reproduce the plain radtan Pinhole exactly."""
+    from ground_fusion2_tpu.core.cameras import PinholeFull
+    full = PinholeFull.create(460.0, 460.0, 320.0, 240.0,
+                              k1=-0.28, k2=0.07, p1=1e-4, p2=-2e-4)
+    plain = Pinhole.create(460.0, 460.0, 320.0, 240.0,
+                           k1=-0.28, k2=0.07, p1=1e-4, p2=-2e-4)
+    p = make_points(rng)
+    uv_f, _ = full.project(p)
+    uv_p, _ = plain.project(p)
+    np.testing.assert_allclose(uv_f, uv_p, atol=1e-5)

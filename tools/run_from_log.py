@@ -82,9 +82,12 @@ class ImuBuffer:
 def system_config_from_yaml(config_path: str):
     """Dataset YAML -> (SystemConfig, tic, ric).
 
-    Builds a distorted camera object when the config carries radtan
-    coefficients (e.g. ``configs/idc.yaml`` from the reference's
-    ``idc_cam.yaml``) so the fused tick undistorts through it.
+    Camera-model routing lives in ``SystemYamlConfig.make_camera`` — a
+    ``model: equidistant`` rig (e.g. ``configs/hilti22.yaml``) gets a
+    Kannala-Brandt object, a distorted ``model: pinhole`` rig (e.g.
+    ``configs/idc.yaml``) a radtan Pinhole, and an undistorted rig keeps
+    the ``None`` default (ideal pinhole built in-system). The tracker picks
+    up the config's ``depth_range``/``equalize``/focal keys.
     """
     from ground_fusion2_tpu.config.loader import load_config
     from ground_fusion2_tpu.system import SystemConfig
@@ -97,11 +100,8 @@ def system_config_from_yaml(config_path: str):
     if ci:
         cfg.cam_intr = (ci.get("fx", 460.0), ci.get("fy", 460.0),
                         ci.get("cx", 320.0), ci.get("cy", 240.0))
-        if any(ci.get(k) for k in ("k1", "k2", "p1", "p2")):
-            from ground_fusion2_tpu.core.cameras import Pinhole
-            cfg.cam = Pinhole.create(
-                *cfg.cam_intr, k1=ci.get("k1", 0.0), k2=ci.get("k2", 0.0),
-                p1=ci.get("p1", 0.0), p2=ci.get("p2", 0.0))
+        cfg.cam = loaded.make_camera()
+        cfg.tracker = loaded.make_tracker()
     return cfg, loaded.tic, loaded.ric
 
 
