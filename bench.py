@@ -9,10 +9,12 @@ step per frame (``ground_fusion2_tpu/vio/fused.py``). The reference does
 this tick on a desktop CPU at ~10 Hz (images every 2nd frame,
 ``estimator.cpp:226``; solver budget 0.04 s, ``m3dgr.yaml:108-109``).
 
-Stage budgeting: the primary pipeline stage always runs; the LIO and bare-
-solver extras run only if enough wall-clock budget remains (BENCH_BUDGET_S,
-default 520 s), so the script always finishes inside the driver's timeout.
-A persistent compilation cache makes reruns warm.
+Stage order (VERDICT r4 item 4 — the artifact of record must always carry
+the LIO + full-system numbers): pipeline → LIO → system ALWAYS run (counts
+shrink when the wall-clock budget runs low, they are never skipped), then
+the device-time/FLOP breakdown (cheap: replays the already-compiled ticks),
+then the bare-solver extra if budget remains (BENCH_BUDGET_S, default
+520 s). A persistent compilation cache makes reruns warm.
 """
 
 import json
@@ -91,7 +93,7 @@ def bench_pipeline(n_frames=36, num_feats=96):
     arr = np.asarray(tick_times)
     # median-based rate: the CI host is shared, and a handful of
     # scheduler-stall outliers should not define the chip's throughput
-    return 1.0 / float(np.median(arr)), float(np.median(arr)), len(arr)
+    return 1.0 / float(np.median(arr)), float(np.median(arr)), len(arr), fv
 
 
 def bench_lio(n_scans=20):
@@ -120,11 +122,12 @@ def bench_lio(n_scans=20):
         for (t, pts, alpha, valid, imu) in scans:
             lio.process_scan(t, pts, alpha, valid, imu)
         lio.flush()
+        return lio
 
     run_once()
     t0 = time.perf_counter()
-    run_once()
-    return n_scans / (time.perf_counter() - t0)
+    lio = run_once()
+    return n_scans / (time.perf_counter() - t0), lio
 
 
 def bench_system(n_frames=30):
@@ -208,24 +211,55 @@ def bench_solver():
     return n / (time.perf_counter() - t0)
 
 
+def _device_breakdown(extras, fv, lio, tick_p50):
+    """Per-stage device-time vs tunnel/host split + XLA FLOP estimate
+    (VERDICT r4 weak #7): replays the already-compiled ticks back-to-back,
+    so it costs ~20 extra dispatches, no compiles."""
+    if fv is not None and fv.carry is not None:
+        dev_s = fv.device_replay(10)
+        extras["pipeline_device_step_ms"] = round(dev_s * 1e3, 2)
+        extras["pipeline_host_tunnel_ms"] = round(
+            max(tick_p50 - dev_s, 0.0) * 1e3, 2)
+        ca = fv.device_cost()
+        flops = ca.get("flops", 0.0)
+        if flops:
+            extras["pipeline_tick_gflops"] = round(flops / 1e9, 3)
+            extras["pipeline_device_gflops_per_s"] = round(
+                flops / dev_s / 1e9, 1)
+    if lio is not None and lio._carry is not None:
+        dev_s = lio.device_replay(10)
+        extras["lio_device_step_ms"] = round(dev_s * 1e3, 2)
+        ca = lio.device_cost()
+        if ca.get("flops"):
+            extras["lio_device_gflops_per_s"] = round(
+                ca["flops"] / dev_s / 1e9, 1)
+
+
 def main():
-    pipeline_fps, tick_p50, n_timed = bench_pipeline()
+    pipeline_fps, tick_p50, n_timed, fv = bench_pipeline()
     extras = {
         "pipeline_tick_p50_ms": round(tick_p50 * 1e3, 2),
         "pipeline_ticks_timed": n_timed,
     }
-    if left() > 150:
-        try:
-            extras["lio_ticks_per_s"] = round(bench_lio(), 2)
-        except Exception as e:          # never lose the primary metric
-            extras["lio_error"] = str(e)[:120]
-    if left() > 150:
-        try:
-            sys_fps, sys_p50 = bench_system()
-            extras["system_ticks_per_s"] = round(sys_fps, 2)
-            extras["system_tick_p50_ms"] = round(sys_p50 * 1e3, 2)
-        except Exception as e:
-            extras["system_error"] = str(e)[:120]
+    # LIO + full-system ALWAYS run (BENCH_r05 artifact completeness —
+    # VERDICT r4 item 4); low budget shrinks the sample count, never skips
+    lio = None
+    try:
+        n_scans = 20 if left() > 150 else 10
+        lio_rate, lio = bench_lio(n_scans=n_scans)
+        extras["lio_ticks_per_s"] = round(lio_rate, 2)
+    except Exception as e:              # never lose the primary metric
+        extras["lio_error"] = str(e)[:120]
+    try:
+        sys_fps, sys_p50 = bench_system(n_frames=30 if left() > 150 else 14)
+        extras["system_ticks_per_s"] = round(sys_fps, 2)
+        extras["system_tick_p50_ms"] = round(sys_p50 * 1e3, 2)
+    except Exception as e:
+        extras["system_error"] = str(e)[:120]
+    try:
+        _device_breakdown(extras, fv, lio, tick_p50)
+    except Exception as e:
+        extras["breakdown_error"] = str(e)[:120]
     if left() > 60:
         try:
             sps = bench_solver()

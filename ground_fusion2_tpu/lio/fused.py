@@ -40,6 +40,22 @@ from . import voxel_map as vm
 # fixed IMU samples per sweep (200 Hz IMU / 10 Hz scans = 20; headroom x2)
 MAX_IMU_PER_SCAN = 48
 
+# sentinel code sorting invalid points last in the spatial subsample
+_CODE_SENTINEL = np.int32(0x7FFFFFFF)
+
+
+def _subsample_codes(pts, cell: float, valid):
+    """Spatial-hash cell code per point (int32, sign bit cleared); invalid
+    points get the sentinel so they sort last. Identical arithmetic on
+    host (numpy) and device (jnp) — the legacy/fused equivalence tests
+    rely on bit-exact agreement."""
+    xp = jnp if isinstance(pts, jax.Array) else np
+    ijk = xp.floor(pts * (1.0 / cell)).astype(xp.int32)
+    h = (ijk[..., 0] * xp.int32(73856093)
+         ^ ijk[..., 1] * xp.int32(19349663)
+         ^ ijk[..., 2] * xp.int32(83492791)) & xp.int32(0x7FFFFFFE)
+    return xp.where(valid, h, _CODE_SENTINEL)
+
 
 class LioStatics(NamedTuple):
     """Hashable static config for the jitted tick."""
@@ -50,6 +66,8 @@ class LioStatics(NamedTuple):
     max_keypoints: int
     evict_every: int = 20
     recenter_margin: float = 0.5
+    keypoint_cell: float = 0.05    # spatial subsample grid (reference
+                                   # subSampleFrame 0.05, main_eskf.cpp:89)
 
 
 class SwitchCarry(NamedTuple):
@@ -213,14 +231,24 @@ def lidar_tick(s: LioStatics, n_scan: int, carry: LioCarry, buf):
     s_pred, _ = ekf.predict_batch(carry.eskf, acc[:M], gyr[:M], dts, smask,
                                   s.eskf_opt)
 
-    # --- keypoint selection (device form of the host integer stride) ----
+    # --- keypoint selection: SPATIAL grid subsample ---------------------
+    # One point per keypoint_cell voxel (reference subSampleFrame 0.05 m,
+    # main_eskf.cpp:58,89) — the round-4 index stride over-weighted dense
+    # nearby returns on range-skewed scans exactly when the degeneracy SVD
+    # needs balanced geometry (VERDICT r4 item 7). Sorted-hash first-point-
+    # per-cell: no gathers into a hash table, one argsort.
     K = s.max_keypoints
-    stride_idx = (jnp.arange(K) * (n_real - 1)) // max(K - 1, 1)
-    idx = jnp.where(n_real >= K, jnp.clip(stride_idx, 0, N - 1),
-                    jnp.clip(jnp.arange(K), 0, N - 1))
-    kp = pts[idx]
-    ka = alpha[idx]
-    km = mask[idx] * (jnp.arange(K) < n_real)
+    valid_pt = (mask > 0) & (jnp.arange(N) < n_real)
+    code = _subsample_codes(pts, s.keypoint_cell, valid_pt)
+    order = jnp.argsort(code)                     # stable: ties by index
+    sc = code[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sc[1:] != sc[:-1]]) & (sc < _CODE_SENTINEL)
+    sel = jnp.argsort(~first, stable=True)[:K]    # firsts to the front
+    take = order[sel]
+    kp = pts[take]
+    ka = alpha[take]
+    km = mask[take] * first[sel]
 
     # --- CT-ICP ----------------------------------------------------------
     pose0 = ci.CtPose(q_begin=q_begin, t_begin=t_begin,

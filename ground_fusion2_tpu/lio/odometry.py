@@ -60,6 +60,8 @@ class LioConfig:
     icp_cfg: ci.CtIcpConfig = field(default_factory=ci.CtIcpConfig)
     eskf_opt: ekf.EskfOptions = field(default_factory=ekf.EskfOptions)
     max_keypoints: int = 2048        # reference caps residuals at 2000
+    keypoint_cell: float = 0.05      # spatial subsample grid (reference
+                                     # subSampleFrame, main_eskf.cpp:89)
     static_init_samples: int = 100   # ~0.5 s at 200 Hz (reference uses 1 s)
     insert_subsample: int = 1
     g_norm: float = 9.81
@@ -98,9 +100,11 @@ class LidarOdometry:
         self._init_gyr: list[np.ndarray] = []
         self._carry: fu.LioCarry | None = None
         self._inflight = None    # (t, rec_dev) awaiting readback (pipelined)
+        self._last_buf = None    # device-time instrumentation
         self._statics = fu.LioStatics(
             map_cfg=cfg.map_cfg, icp_cfg=cfg.icp_cfg, eskf_opt=cfg.eskf_opt,
-            max_keypoints=cfg.max_keypoints, evict_every=cfg.evict_every)
+            max_keypoints=cfg.max_keypoints, evict_every=cfg.evict_every,
+            keypoint_cell=cfg.keypoint_cell)
         # switch state (mirrors reference flags; legacy/host path)
         self.has_entered_degenerate = False
         self.first_is_degenerate = False   # first-ever frames were degenerate
@@ -187,6 +191,7 @@ class LidarOdometry:
             ext_valid = 0.0
         buf = fu.pack_scan(pts_body, alpha, mask, acc, gyr, dts,
                            ext_p, ext_q, ext_valid, self.cfg.scan_buffer)
+        self._last_buf = buf
         self._carry, rec, p_w, m_w = fu.lidar_tick(
             self._statics, self.cfg.scan_buffer, self._carry, buf)
         self.dispatch_count += 1
@@ -223,6 +228,36 @@ class LidarOdometry:
         t, rec = self._inflight
         self._inflight = None
         return self._emit_fused(t, rec)
+
+    # -- device-time instrumentation (bench.py breakdown) ----------------
+    def device_replay(self, n: int = 10) -> float:
+        """Seconds per DEVICE sweep step: back-to-back re-dispatch of the
+        compiled tick on the last packed scan buffer, one final block —
+        isolates device time from host pack + tunnel readback."""
+        import time as _time
+        assert self._carry is not None and self._last_buf is not None
+        cc = self._carry
+        cc, rec, _, _ = fu.lidar_tick(self._statics, self.cfg.scan_buffer,
+                                      cc, self._last_buf)
+        jax.block_until_ready(rec)
+        t0 = _time.perf_counter()
+        for _ in range(n):
+            cc, rec, _, _ = fu.lidar_tick(self._statics,
+                                          self.cfg.scan_buffer, cc,
+                                          self._last_buf)
+        jax.block_until_ready(rec)
+        return (_time.perf_counter() - t0) / n
+
+    def device_cost(self) -> dict:
+        """XLA cost analysis (flops/bytes estimates) of the compiled tick."""
+        assert self._carry is not None and self._last_buf is not None
+        lowered = fu.lidar_tick.lower(
+            self._statics, self.cfg.scan_buffer, self._carry,
+            jnp.asarray(self._last_buf))
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return dict(ca) if ca else {}
 
     # -- legacy host-orchestrated path (equivalence oracle) --------------
     def _process_scan_legacy(self, t, pts_body, alpha, mask, imu,
@@ -330,16 +365,30 @@ class LidarOdometry:
 
     # ------------------------------------------------------------------
     def _keypoints(self, pts, alpha, mask):
+        """Spatial grid subsample, host mirror of the fused device
+        selection (one point per keypoint_cell voxel; reference
+        subSampleFrame, main_eskf.cpp:58,89) — bit-exact with
+        ``fused._subsample_codes`` + stable argsort."""
         K = self.cfg.max_keypoints
         n = pts.shape[0]
-        if n >= K:
-            # integer stride (matches the fused device selection bit-exactly)
-            idx = (np.arange(K, dtype=np.int64) * (n - 1)) // max(K - 1, 1)
-            return pts[idx], alpha[idx], mask[idx]
-        pad = K - n
-        return (np.concatenate([pts, np.zeros((pad, 3), pts.dtype)]),
-                np.concatenate([alpha, np.zeros(pad, alpha.dtype)]),
-                np.concatenate([mask, np.zeros(pad, mask.dtype)]))
+        pts = np.asarray(pts, np.float32)
+        alpha = np.asarray(alpha, np.float32)
+        mask = np.asarray(mask, np.float32)
+        if n < K:
+            pad = K - n
+            pts = np.concatenate([pts, np.zeros((pad, 3), pts.dtype)])
+            alpha = np.concatenate([alpha, np.zeros(pad, alpha.dtype)])
+            mask = np.concatenate([mask, np.zeros(pad, mask.dtype)])
+            n = K
+        valid = mask > 0
+        code = fu._subsample_codes(pts, self.cfg.keypoint_cell, valid)
+        order = np.argsort(code, kind="stable")
+        sc = code[order]
+        firsts = np.concatenate(
+            [[True], sc[1:] != sc[:-1]]) & (sc < fu._CODE_SENTINEL)
+        sel = np.argsort(~firsts, kind="stable")[:K]
+        take = order[sel]
+        return pts[take], alpha[take], mask[take] * firsts[sel]
 
     def _insert_scan(self, pts, alpha, mask, q_b, t_b, q_e, t_e):
         pose = ci.CtPose(q_begin=jnp.asarray(q_b, jnp.float32),

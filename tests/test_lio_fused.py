@@ -125,3 +125,45 @@ def test_insert_no_overflow_is_lossless(rng):
     assert int(jnp.sum(m1.code != vm.INVALID)) \
         == int(jnp.sum(m2.code != vm.INVALID))
     np.testing.assert_array_equal(np.asarray(m1.code), np.asarray(m2.code))
+
+
+def test_spatial_subsample_balances_density_skew():
+    """Keypoints per cell bounded at 1: on a scan with a 10:1 density skew
+    (dense near wall vs sparse far wall) the index stride kept ~10x more
+    near points; the spatial subsample must keep the two walls' keypoint
+    counts within ~2x (reference subSampleFrame, main_eskf.cpp:58,89)."""
+    import numpy as np
+    from ground_fusion2_tpu.lio import fused as fu
+
+    rng = np.random.default_rng(0)
+    # near wall at x=1 (dense): 3600 pts over 4 m^2; far wall at x=20
+    # (sparse): 360 pts over the same extent
+    near = np.stack([np.full(3600, 1.0),
+                     rng.uniform(-1, 1, 3600),
+                     rng.uniform(0, 2, 3600)], 1).astype(np.float32)
+    far = np.stack([np.full(360, 20.0),
+                    rng.uniform(-1, 1, 360),
+                    rng.uniform(0, 2, 360)], 1).astype(np.float32)
+    pts = np.concatenate([near, far])
+    N = pts.shape[0]
+    valid = np.ones((N,), bool)
+    K = 512
+    code = fu._subsample_codes(pts, 0.25, valid)
+    order = np.argsort(code, kind="stable")
+    sc = code[order]
+    firsts = np.concatenate([[True], sc[1:] != sc[:-1]]) \
+        & (sc < fu._CODE_SENTINEL)
+    sel = np.argsort(~firsts, kind="stable")[:K]
+    take = order[sel]
+    kept = take[firsts[sel]]
+    n_near = int((pts[kept][:, 0] < 10).sum())
+    n_far = int((pts[kept][:, 0] >= 10).sum())
+    assert n_far > 0
+    # 0.25 m cells on a 2x2 m wall -> ~64 occupied cells per wall; the
+    # dense wall fills them all, the sparse wall most — ratio bounded
+    assert n_near / n_far < 2.0, (n_near, n_far)
+    # the old stride would keep 10:1
+    stride = (np.arange(K) * (N - 1)) // (K - 1)
+    s_near = int((pts[stride][:, 0] < 10).sum())
+    s_far = max(int((pts[stride][:, 0] >= 10).sum()), 1)
+    assert s_near / s_far > 5.0
