@@ -79,8 +79,8 @@ def read_log(path: str):
                 yield ty, t, d.astype(np.float32) * 1e-3   # mm -> m
             elif ty == nb.REC_GNSS:
                 n = int(np.frombuffer(buf[:4], np.uint32)[0])
-                sats = np.frombuffer(buf[4:4 + 80 * n],
-                                     np.float64).reshape(n, 10)
+                sats = np.frombuffer(buf[4:4 + 136 * n],
+                                     np.float64).reshape(n, 17)
                 yield ty, t, sats
             else:
                 yield ty, t, bytes(buf)

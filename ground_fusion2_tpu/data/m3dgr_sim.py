@@ -60,8 +60,21 @@ def generate_m3dgr_log(
     yaw_rate: float = 0.35,
     with_lidar: bool = True,
     seed: int = 0,
+    stops: tuple = (),
+    scene_rects=None,
+    lidar_sim=None,
+    image_effect=None,
+    gnss_provider=None,
 ) -> None:
-    """Render + write one sequence to ``path`` in the converted-bag format."""
+    """Render + write one sequence to ``path`` in the converted-bag format.
+
+    Scenario hooks (degraded-sequence campaign, ``data/scenarios.py``):
+    ``stops`` mid-sequence dwell intervals; ``scene_rects``/``lidar_sim``
+    override the default room geometry (e.g. a degenerate corridor);
+    ``image_effect(t, gray, depth) -> (gray, depth)`` post-processes
+    rendered frames (dark stretches, dynamic occluders);
+    ``gnss_provider(t, p_world, v_world) -> rows|None`` emits REC_GNSS
+    epochs (rows from ``scenarios.gnss_to_rows``)."""
     raw_cam = config.cam_intrinsics
     fx, fy = raw_cam["fx"], raw_cam["fy"]
     cx, cy = raw_cam["cx"], raw_cam["cy"]
@@ -71,7 +84,7 @@ def generate_m3dgr_log(
 
     traj = sim.make_planar_trajectory(
         duration=duration, imu_rate=imu_rate, speed=speed, yaw_rate=yaw_rate,
-        wobble=0.02, static_time=1.5, ramp_time=1.0)
+        wobble=0.02, static_time=1.5, ramp_time=1.0, stops=stops)
     n = traj.t.shape[0]
 
     # vehicle -> body resampling of IMU ground truth; specific force is
@@ -107,14 +120,16 @@ def generate_m3dgr_log(
         wvel[i] = r_io.T @ v_o_body
 
     # scene + renderer (camera behind the real body_T_cam0)
-    rects = make_room_scene(x=(-10, 14), y=(-7, 7), h=3.0, seed=seed)
+    rects = scene_rects if scene_rects is not None else \
+        make_room_scene(x=(-10, 14), y=(-7, 7), h=3.0, seed=seed)
     renderer = SceneRenderer(rects, fx, fy, cx, cy, W, H)
     ric, tic = config.ric, config.tic
 
     lidar = None
     if with_lidar:
-        lidar = sim.LidarSim.room(x=(-10, 14), y=(-7, 7), z=(0.0, 3.0),
-                                  n_rays=4096, noise=0.01, seed=seed)
+        lidar = lidar_sim if lidar_sim is not None else \
+            sim.LidarSim.room(x=(-10, 14), y=(-7, 7), z=(0.0, 3.0),
+                              n_rays=4096, noise=0.01, seed=seed)
     r_il, t_il = config.r_il, config.t_il
 
     writer = nb.LogWriter(path)
@@ -131,12 +146,22 @@ def generate_m3dgr_log(
         writer.write(nb.REC_GT, t, np.concatenate(
             [traj.p[i] + [0, 0, z_cam], q_wb[i]]).astype(np.float32))
 
+        if gnss_provider is not None:
+            rows = gnss_provider(t, traj.p[i] + [0, 0, z_cam], traj.v[i])
+            if rows is not None and len(rows):
+                hdr = np.asarray([len(rows)], np.uint32).view(np.uint8)
+                writer.write(nb.REC_GNSS, t, np.concatenate(
+                    [hdr, np.asarray(rows, np.float64)
+                     .reshape(-1).view(np.uint8)]))
+
         if i % cam_every == 0:
             R_wb = _quat_to_mat(q_wb[i])
             p_wb = traj.p[i] + np.array([0, 0, z_cam])
             R_wc = R_wb @ ric
             p_wc = p_wb + R_wb @ tic
             gray, depth = renderer.render(p_wc, R_wc)
+            if image_effect is not None:
+                gray, depth = image_effect(t, gray, depth)
             img_u8 = np.clip(gray * 255.0, 0, 255).astype(np.uint8)
             hdr = np.array([H, W], np.uint32).view(np.uint8)
             writer.write(nb.REC_IMAGE, t,
@@ -175,6 +200,7 @@ class ReplayResult:
     outputs: list
     mesh_stats: dict | None = None
     occ_prob: "np.ndarray | None" = None
+    n_loops: "int | None" = None
 
 
 def _occ_cfg():
@@ -194,13 +220,19 @@ def replay_m3dgr_log(
     mesh_ply: str | None = None,
     mesh_drain_every: int = 4,
     use_occupancy: bool = False,
+    use_loop: bool = False,
+    use_gnss: bool = False,
+    use_global: bool = False,
 ) -> ReplayResult:
     """Replay a log through the complete pipeline; returns trajectories.
 
     ``use_mesh`` feeds the LIO's world clouds + fused poses + camera images
     through the online mesher (the reference's ImMesh intake,
     ``ImMesh_mesh_reconstruction.cpp:734-800``); ``mesh_ply`` exports the
-    textured mesh at the end."""
+    textured mesh at the end. ``use_loop`` wires the dense_map pose-graph
+    analog (keyframe images feed BRIEF place recognition); ``use_gnss``
+    consumes REC_GNSS epochs into the tightly-coupled window; ``use_global``
+    feeds SPP fixes as global-fusion anchors (globalOpt.cpp)."""
     import jax.numpy as jnp
 
     from ..frontend.tracker import FeatureTracker, TrackerConfig
@@ -217,13 +249,16 @@ def replay_m3dgr_log(
         use_ransac=True, focal=fx,
         depth_range=(d_lo, d_hi)), cam)
 
+    gnss_on = use_gnss or config.use_gnss
     est_cfg = EstimatorConfig(
         num_feats=num_feats,
-        vio=config.estimator.vio._replace(num_feats=num_feats),
+        vio=config.estimator.vio._replace(num_feats=num_feats,
+                                          use_gnss=gnss_on),
         imu_noise=config.estimator.imu_noise,
         wheel_noise=config.estimator.wheel_noise,
         min_parallax=config.estimator.min_parallax,
         use_wheel=config.estimator.use_wheel,
+        use_gnss=gnss_on,
         g_norm=config.estimator.g_norm)
     gf = GroundFusion(SystemConfig(vio=est_cfg, lio=config.lio,
                                    use_lidar=use_lidar and config.use_lidar,
@@ -231,7 +266,11 @@ def replay_m3dgr_log(
                                    use_occupancy_grid=use_occupancy,
                                    occupancy=_occ_cfg() if use_occupancy
                                    else None,
+                                   use_loop_closure=use_loop,
+                                   use_global_fusion=use_global,
                                    mesh_drain_every=mesh_drain_every,
+                                   cam_intr=(raw_cam["fx"], raw_cam["fy"],
+                                             raw_cam["cx"], raw_cam["cy"]),
                                    mesh_intrinsics=(
                                        raw_cam["fx"], raw_cam["fy"],
                                        raw_cam["cx"], raw_cam["cy"])),
@@ -251,6 +290,9 @@ def replay_m3dgr_log(
     outputs = []
     lid_last_idx = 0
     r_il, t_il = config.r_il, config.t_il
+    pend_gnss = None           # epoch awaiting the next processed frame
+    pend_gps_enu = None        # SPP fix (ENU rel. first fix) for global opt
+    first_fix = None
 
     def imu_chunk(i0, i1):
         a = np.asarray(imu_acc[i0:i1 + 1], np.float32)
@@ -303,11 +345,33 @@ def replay_m3dgr_log(
                                 jnp.asarray(depth.astype(np.float32)))
             out = gf.process_camera(
                 ti, obs, imu_chunk(last_cam_imu_idx, i1),
-                wheel_vel=wheel_chunk(last_cam_imu_idx, i1))
+                wheel_vel=wheel_chunk(last_cam_imu_idx, i1),
+                gnss_meas=pend_gnss,
+                img=img if use_loop else None,
+                depth_img=depth.astype(np.float32) if use_loop else None,
+                gps_enu=pend_gps_enu if use_global else None,
+                gps_std=1.5)
+            pend_gnss = pend_gps_enu = None
             last_cam_imu_idx = i1
             outputs.append(out)
             if out.initialized:
                 vio_t.append(ti); vio_p.append(out.p.copy())
+        elif ty == nb.REC_GNSS and (use_gnss or use_global):
+            from .scenarios import rows_to_meas
+            n_sat = int(np.frombuffer(buf[:4], np.uint32)[0])
+            rows = np.frombuffer(
+                buf[4:4 + 136 * n_sat], np.float64).reshape(n_sat, 17)
+            meas = rows_to_meas(rows)
+            if use_gnss:
+                pend_gnss = meas
+            if use_global and len(meas) >= 5:
+                from ..gnss.frames import ecef2rotation
+                from ..gnss.spp import spp_position
+                fix, _, ok = spp_position(meas)
+                if ok:
+                    if first_fix is None:
+                        first_fix = fix.copy()
+                    pend_gps_enu = ecef2rotation(first_fix) @ (fix - first_fix)
         elif ty == nb.REC_CLOUD and use_lidar and config.use_lidar:
             nn = int(np.frombuffer(buf[:4], np.uint32)[0])
             pts4 = np.frombuffer(buf[4:4 + 16 * nn], np.float32).reshape(nn, 4)
@@ -358,8 +422,15 @@ def replay_m3dgr_log(
     est_t = np.asarray(fused_t) if fused_t else np.zeros((0,))
     vio_p = np.asarray(vio_p) if vio_p else np.zeros((0, 3))
     vio_ts = np.asarray(vio_t) if vio_t else np.zeros((0,))
+    n_loops = None
+    if use_loop:
+        n_loops = sum(1 for e in gf.telemetry.events
+                      if str(e.get("kind", "")).startswith("loop_closed"))
+    # when no LiDAR ran (camera-only scenario) the fused output IS the VIO
+    if len(est_t) == 0 and len(vio_ts):
+        est_t, est_p = vio_ts, vio_p
     return ReplayResult(
         t=est_t, est_p=est_p, gt_p=gt_at(est_t) if len(est_t) else est_p,
         est_p_vio=vio_p, gt_p_vio=gt_at(vio_ts) if len(vio_ts) else vio_p,
         n_switches=n_switch, outputs=outputs, mesh_stats=mesh_stats,
-        occ_prob=occ_prob)
+        occ_prob=occ_prob, n_loops=n_loops)

@@ -60,11 +60,14 @@ def make_planar_trajectory(
     wobble: float = 0.0,
     static_time: float = 0.0,
     ramp_time: float = 1.0,
+    stops: tuple = (),
 ) -> Trajectory:
     """Planar trajectory with an optional static prefix and smooth speed ramp.
 
     Profile: stationary for ``static_time``, cosine speed ramp over
     ``ramp_time``, then constant speed/yaw-rate arc (+ optional z wobble).
+    ``stops``: (t0, t1) intervals of mid-sequence stationary dwell (the
+    M3DGR stationary-stop degradation; smooth 0.7 s ramps in/out).
     Positions/velocities are integrated at IMU rate; IMU samples are derived
     consistently via the analytic orientation and numeric acceleration.
     """
@@ -76,10 +79,21 @@ def make_planar_trajectory(
         s = np.clip((tt - static_time) / max(ramp_time, 1e-6), 0.0, 1.0)
         return 0.5 * (1.0 - np.cos(np.pi * s))
 
-    s_prof = speed * ramp(t)
-    w_prof = yaw_rate * ramp(t)
+    def stop_gate(tt):
+        g = np.ones_like(tt)
+        rs = 0.7
+        for (a, b) in stops:
+            down = 0.5 * (1 - np.cos(np.pi * np.clip((tt - (a - rs)) / rs,
+                                                     0.0, 1.0)))
+            up = 0.5 * (1 - np.cos(np.pi * np.clip((tt - b) / rs, 0.0, 1.0)))
+            g = g * (1.0 - down * (1.0 - up))
+        return g
+
+    gate = ramp(t) * stop_gate(t)
+    s_prof = speed * gate
+    w_prof = yaw_rate * gate
     yaw = np.concatenate([[0.0], np.cumsum(0.5 * (w_prof[1:] + w_prof[:-1]) * dt)])
-    moving = ramp(t)
+    moving = gate
     zf = 0.2
     vz = wobble * 2 * np.pi * zf * np.cos(2 * np.pi * zf * t) * moving
     v = np.stack([s_prof * np.cos(yaw), s_prof * np.sin(yaw), vz], axis=-1)
@@ -104,16 +118,29 @@ def make_landmarks(
     traj: Trajectory, n: int = 300, seed: int = 0,
     radius: tuple[float, float] = (2.0, 12.0),
     height: tuple[float, float] = (-1.0, 3.0),
+    along_path: bool | None = None,
 ) -> Landmarks:
-    """Scatter landmarks in a band around the trajectory."""
+    """Scatter landmarks in a band around the trajectory.
+
+    ``along_path``: anchor each landmark to a random trajectory sample
+    instead of the centroid — required for long (>~25 m extent) runs where
+    a centroid ring would leave most of the path featureless. ``None``
+    auto-enables it when the trajectory extent exceeds 25 m (short-run
+    sampling unchanged, so fixed-seed tests keep their distributions)."""
     rng = np.random.default_rng(seed)
-    center = traj.p.mean(axis=0)
+    extent = float(np.max(np.ptp(traj.p[:, :2], axis=0)))
+    if along_path is None:
+        along_path = extent > 25.0
     ang = rng.uniform(0, 2 * np.pi, n)
     rad = rng.uniform(*radius, n)
     z = rng.uniform(*height, n)
+    if along_path:
+        anchor = traj.p[rng.integers(0, traj.p.shape[0], n)]
+    else:
+        anchor = np.broadcast_to(traj.p.mean(axis=0), (n, 3))
     pts = np.stack([
-        center[0] + rad * np.cos(ang),
-        center[1] + rad * np.sin(ang),
+        anchor[:, 0] + rad * np.cos(ang),
+        anchor[:, 1] + rad * np.sin(ang),
         z,
     ], axis=-1)
     return Landmarks(pts)

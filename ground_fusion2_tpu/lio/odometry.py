@@ -410,6 +410,18 @@ class LidarOdometry:
         bg = gyr.mean(axis=0)
         acc_mean = acc.mean(axis=0)
         R0 = np.asarray(lie.gravity_align(jnp.asarray(acc_mean, jnp.float32)))
+        if external_pose is not None:
+            # seed the world yaw from the external (VIO) stream so both
+            # subsystems share one frame (reference stateInitialization
+            # seeds the first LIO pose from VINS odom + gravity fix,
+            # lidarodom.cpp:1352-1412); gravity alignment is kept, only
+            # the free yaw is replaced
+            R_ext = np.asarray(lie.quat_to_mat(
+                jnp.asarray(external_pose[1], jnp.float32)))
+            dyaw = np.arctan2(R_ext[1, 0], R_ext[0, 0]) \
+                - np.arctan2(R0[1, 0], R0[0, 0])
+            c, s = np.cos(dyaw), np.sin(dyaw)
+            R0 = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]]) @ R0
         q0 = np.asarray(lie.mat_to_quat(jnp.asarray(R0, jnp.float32)))
         ba = acc_mean - R0.T @ np.array([0, 0, self.cfg.g_norm])
         self._eskf = self._eskf._replace(

@@ -151,7 +151,9 @@ REC_WHEEL = 2      # payload: f32[3]
 REC_IMAGE = 3      # payload: u32 h, u32 w, u8[h*w] grayscale
 REC_DEPTH = 4      # payload: u32 h, u32 w, u16[h*w] mm
 REC_CLOUD = 5      # payload: u32 n, f32[n*4] xyzt
-REC_GNSS = 6       # payload: u32 n, f64[n*10] per-sat records
+REC_GNSS = 6       # payload: u32 n, f64[n*17] per-sat records
+                   # (sat psr dopp psr_std dopp_std sat_pos[3] sat_vel[3]
+                   #  clk clk_drift az el iono trop — scenarios.gnss_to_rows)
 REC_GT = 7         # payload: f32[7] p, q
 
 

@@ -1,0 +1,69 @@
+"""Degraded-scenario campaign gates (VERDICT r4 item 1).
+
+Each scenario renders a 60–180 s M3DGR-format sequence with one of the
+reference's degradation modes and replays it through the FULL fused stack
+(LVIO + switch + loop closure + mesh + occupancy; + tightly-coupled GNSS +
+global fusion for the outage scenario). Thresholds mirror
+``data/scenarios.py`` specs — the same rows ``tools/run_scenarios.py``
+prints.
+"""
+
+import numpy as np
+import pytest
+
+from ground_fusion2_tpu.data.scenarios import SCENARIOS, run_scenario
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("campaign"))
+
+
+def _run(name, workdir):
+    row = run_scenario(name, workdir, reuse_log=True)
+    spec = SCENARIOS[name]
+    assert row.get("frames", 0) > spec.duration * 5, row
+    assert "ate_fused" in row, row
+    assert row["ate_fused"] <= spec.max_ate_fused, row
+    if "ate_vio" in row:
+        assert row["ate_vio"] <= spec.max_ate_vio, row
+    assert row.get("switches", 0) >= spec.min_switches, row
+    return row
+
+
+@pytest.mark.slow
+def test_scenario_nominal(workdir):
+    row = _run("nominal", workdir)
+    # nominal must land in the reference's indoor ATE class
+    assert row["ate_fused"] < 0.3, row
+
+
+@pytest.mark.slow
+def test_scenario_corridor(workdir):
+    """LiDAR degeneracy + recovery: the switch must fire (to VIO inside the
+    corridor, back to LIO near the end wall) and the fused output must stay
+    bounded through the degenerate stretch."""
+    row = _run("corridor", workdir)
+    assert row["switches"] >= 2, row
+
+
+@pytest.mark.slow
+def test_scenario_dark(workdir):
+    _run("dark", workdir)
+
+
+@pytest.mark.slow
+def test_scenario_dynamic(workdir):
+    _run("dynamic", workdir)
+
+
+@pytest.mark.slow
+def test_scenario_stationary(workdir):
+    _run("stationary", workdir)
+
+
+@pytest.mark.slow
+def test_scenario_gnss_outage(workdir):
+    row = _run("gnss_outage", workdir)
+    # full stack on this one also exercises global fusion
+    assert row["duration_s"] >= 100
