@@ -147,7 +147,11 @@ def load_config(path: str | Path) -> SystemYamlConfig:
         icp_cfg=CtIcpConfig(
             outer_iters=lio_raw.get("num_iters_icp", 5),
             deg_sigma_min=lio_raw.get("deg_sigma_min", 7.0),
-            deg_sigma_mean=lio_raw.get("deg_sigma_mean", 10.0)),
+            deg_sigma_mean=lio_raw.get("deg_sigma_mean", 10.0),
+            # reference thres_translation_norm / thres_orientation_norm
+            # (lio/config/m3dgr.yaml:53-54)
+            conv_trans=lio_raw.get("thres_translation_norm", 0.01),
+            conv_rot_deg=lio_raw.get("thres_orientation_norm", 0.1)),
         max_keypoints=lio_raw.get("max_num_residuals", 2048),
         # spatial keypoint subsample grid (reference subSampleFrame 0.05,
         # main_eskf.cpp:89; hardcoded there, a key here)

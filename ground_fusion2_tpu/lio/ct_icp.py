@@ -37,6 +37,13 @@ class CtIcpConfig(NamedTuple):
     deg_sigma_min: float = 7.0      # reference MID360 thresholds
     deg_sigma_mean: float = 10.0
     min_normals: int = 10
+    # convergence early-exit thresholds (reference thres_translation_norm /
+    # thres_orientation_norm, lio/config/m3dgr.yaml:53-54): once a step
+    # falls below both, later iterations of the fixed-trip-count scan are
+    # frozen — the reference's <=10-with-early-exit semantics in a static
+    # XLA shape
+    conv_trans: float = 0.01        # metres
+    conv_rot_deg: float = 0.1       # degrees
 
 
 class CtPose(NamedTuple):
@@ -87,14 +94,19 @@ def ct_icp(
     dtype = pts_body.dtype
     K = pts_body.shape[0]
 
-    # candidate gather ONCE at the predicted pose (searchsorted + the big
+    # candidate gather at the predicted pose (searchsorted + the big
     # [K, 27*gk] gather are the expensive half of the neighbor search);
     # each iteration re-ranks the same candidates — per-iteration pose
-    # deltas are cm-scale vs the 0.2 m of voxel padding already gathered
+    # deltas are cm-scale vs the 0.2 m of voxel padding already gathered.
+    # If the pose moves beyond half a voxel mid-solve (hard/large-motion
+    # scans — the reference re-searches every iteration,
+    # ``searchNeighbors`` ``lidarodom.cpp:1087-1165``), a ``lax.cond``
+    # re-gathers once at the halfway point; the branch costs nothing on
+    # the normal ESKF-seeded tick.
     p_w0 = transform_points(pose0, pts_body, alpha)
     cand, cand_mask = vm.gather_candidates(vmap, p_w0, map_cfg)
 
-    def assoc(pose):
+    def assoc(pose, cand, cand_mask):
         p_w = transform_points(pose, pts_body, alpha)
         neigh, nmask = vm.knn_from_candidates(p_w, cand, cand_mask,
                                               map_cfg.knn)
@@ -108,8 +120,8 @@ def ct_icp(
         return normal, centroid, w
 
     def gn_iter(carry, _):
-        pose, _ = carry
-        normal, centroid, w = assoc(pose)
+        pose, _, _, cand, cand_mask = carry
+        normal, centroid, w = assoc(pose, cand, cand_mask)
 
         def residuals(d):
             p = _retract(pose, d)
@@ -129,13 +141,43 @@ def ct_icp(
         damped = H + jnp.eye(12, dtype=dtype) * (
             cfg.damping * jnp.maximum(jnp.max(jnp.diagonal(H)), 1.0))
         d = -jnp.linalg.solve(damped, g)
-        return (_retract(pose, d), 0.5 * jnp.sum(r * r)), None
+        d = d * (1.0 - carry[2])           # frozen once converged
+        dt_norm = jnp.maximum(jnp.linalg.norm(d[3:6]),
+                              jnp.linalg.norm(d[9:12]))
+        dth_norm = jnp.maximum(jnp.linalg.norm(d[0:3]),
+                               jnp.linalg.norm(d[6:9]))
+        done = jnp.maximum(
+            carry[2],
+            ((dt_norm < cfg.conv_trans)
+             & (dth_norm < jnp.deg2rad(cfg.conv_rot_deg))).astype(dtype))
+        return (_retract(pose, d), 0.5 * jnp.sum(r * r), done,
+                cand, cand_mask), None
 
-    (pose, cost), _ = jax.lax.scan(
-        gn_iter, (pose0, jnp.zeros((), dtype)), None, length=cfg.outer_iters)
+    n1 = min(max(cfg.outer_iters // 2, 1), cfg.outer_iters)
+    carry0 = (pose0, jnp.zeros((), dtype), jnp.zeros((), dtype),
+              cand, cand_mask)
+    carry1, _ = jax.lax.scan(gn_iter, carry0, None, length=n1)
+    pose_mid = carry1[0]
+    moved = jnp.maximum(
+        jnp.linalg.norm(pose_mid.t_begin - pose0.t_begin),
+        jnp.linalg.norm(pose_mid.t_end - pose0.t_end))
+
+    def regather(_):
+        p_w = transform_points(pose_mid, pts_body, alpha)
+        return vm.gather_candidates(vmap, p_w, map_cfg)
+
+    regathered = moved > 0.5 * map_cfg.voxel_size
+    cand2, cmask2 = jax.lax.cond(
+        regathered, regather, lambda _: (cand, cand_mask), None)
+    # a re-association invalidates the convergence latch: a pose that
+    # stalled against stale candidates must keep iterating
+    done_mid = jnp.where(regathered, 0.0, carry1[2])
+    carry1 = (pose_mid, carry1[1], done_mid, cand2, cmask2)
+    (pose, cost, _, cand, cand_mask), _ = jax.lax.scan(
+        gn_iter, carry1, None, length=cfg.outer_iters - n1)
 
     # degeneracy: SVD of the accepted normals (reference checkLocalizability)
-    normal, centroid, w = assoc(pose)
+    normal, centroid, w = assoc(pose, cand, cand_mask)
     sel = (w > 0).astype(dtype)
     n_sel = jnp.sum(sel)
     A = jnp.einsum("k,ki,kj->ij", sel, normal, normal)
