@@ -18,8 +18,13 @@ from . import synthetic as sim
 
 
 def make_example_window(num_feats: int = 96, imu_per_interval: int = 40,
-                        seed: int = 0, perturb: float = 0.03):
-    """Build (x_true, x0, meas, layout, cfg) for a synthetic window."""
+                        seed: int = 0, perturb: float = 0.03,
+                        wheel_scale: float = 1.0):
+    """Build (x_true, x0, meas, layout, cfg) for a synthetic window.
+
+    ``wheel_scale``: multiply the wheel velocity samples before
+    preintegration (injects an intrinsic miscalibration for the online
+    wheel-calibration tests, reference ESTIMATE_INTRINSIC_WHEEL)."""
     import jax
     import jax.numpy as jnp
 
@@ -74,7 +79,7 @@ def make_example_window(num_feats: int = 96, imu_per_interval: int = 40,
         jnp.asarray(dts), z3, z3)
     sinfo = imu_sqrt_info(pre.cov)
 
-    wvel = sim.wheel_velocity_body(traj)
+    wvel = sim.wheel_velocity_body(traj) * wheel_scale
     wvels = np.stack([wvel[kf_idx[k]:kf_idx[k] + n + 1] for k in range(W - 1)])
     wpre = jax.vmap(lambda v, g, d: preintegrate_wheel(
         v, g, d, 1.0, 1.0, 1.0, WheelNoise(vel_n=0.05, gyr_n=0.005)))(

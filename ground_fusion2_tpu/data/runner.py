@@ -38,6 +38,7 @@ def run_synthetic_sequence(
     use_gnss: bool = False,
     gnss_yaw: float = 0.0,
     gnss_rate: float = 2.0,
+    gnss_outage: tuple | None = None,   # (t0, t1): no epochs in this span
     num_feats: int = 96,
     num_landmarks: int = 600,
     seed: int = 0,
@@ -97,10 +98,16 @@ def run_synthetic_sequence(
         imu_chunk = (acc[i0:i1 + 1], gyr[i0:i1 + 1],
                      np.full((spf,), 1.0 / imu_rate, np.float32))
         gnss_meas = None
-        if gsim is not None and k % max(1, int(frame_rate / gnss_rate)) == 0:
+        in_outage = (gnss_outage is not None
+                     and gnss_outage[0] <= t <= gnss_outage[1])
+        if gsim is not None and not in_outage \
+                and k % max(1, int(frame_rate / gnss_rate)) == 0:
+            # clock bias must INTEGRATE the advertised drift — a constant
+            # bias with nonzero drift makes psr and dopp disagree and the
+            # clock-evolution factor drags position systematically
             gnss_meas = gsim.measurements(
                 t=50.0 + t, enu_pos=Rz @ traj.p[i1], enu_vel=Rz @ traj.v[i1],
-                clk_bias=5.0, clk_drift=0.5)
+                clk_bias=5.0 + 0.5 * t, clk_drift=0.5)
         if fused:
             out = est.process_obs(t, obs, imu_chunk,
                                   wheel_vel=wvel[i0:i1 + 1],

@@ -194,7 +194,7 @@ def _gnss_provider(spec: ScenarioSpec, g_norm: float, seed: int,
         state["last"] = t
         meas = gsim.measurements(t=50.0 + t, enu_pos=Rz @ p_world,
                                  enu_vel=Rz @ v_world,
-                                 clk_bias=5.0, clk_drift=0.5)
+                                 clk_bias=5.0 + 0.5 * t, clk_drift=0.5)
         return gnss_to_rows(meas)
 
     return provider
@@ -227,7 +227,14 @@ def run_scenario(name: str, workdir: str,
     spec = SCENARIOS[name]
     wd = Path(workdir)
     wd.mkdir(parents=True, exist_ok=True)
-    log_path = wd / f"{name}_s{seed}.gf2log"
+    # log filename carries a generation-spec digest: a spec change
+    # invalidates the cached render, thresholds don't
+    import hashlib
+    gen_key = (spec.duration, spec.speed, spec.yaw_rate, spec.stops,
+               spec.scene, spec.dark_spans, spec.dynamic_obj, spec.use_gnss,
+               spec.gnss_outage, spec.gnss_yaw, seed, config_path)
+    digest = hashlib.md5(repr(gen_key).encode()).hexdigest()[:10]
+    log_path = wd / f"{name}_s{seed}_{digest}.gf2log"
     if not (reuse_log and log_path.exists()):
         generate_scenario(name, str(log_path), config_path, seed)
 

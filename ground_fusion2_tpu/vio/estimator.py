@@ -66,6 +66,12 @@ class EstimatorConfig:
     gnss_align_min_epochs: int = 5
     gnss_align_min_speed: float = 0.4
     gnss_refine_ticks: int = 15
+    # long-run hardening (VERDICT r4 item 8): re-open yaw/anchor refinement
+    # every this many ticks (0 = one-shot post-alignment only), and move the
+    # prereduction anchor when displacement from it exceeds the bound (the
+    # anchor-relative linearization error grows as |p|^2/2rho)
+    gnss_refine_period_ticks: int = 300
+    gnss_anchor_refresh_m: float = 1000.0
     outlier_px: float = 6.0              # landmark outlier gate (reference
                                          # removeOutlier, estimator.cpp:1159)
     focal: float = 460.0
@@ -95,6 +101,10 @@ class VioOutput(NamedTuple):
     tracked: int
     cost: float
     rebooted: bool = False
+    # latest accel/gyro biases (seed the IMU-rate fast propagator,
+    # reference fastPredictIMU latest_Ba/latest_Bg)
+    ba: np.ndarray | None = None
+    bg: np.ndarray | None = None
 
 
 class _IntervalBuffers:
@@ -409,6 +419,8 @@ class VioEstimator:
             is_keyframe=is_kf, stationary=stationary,
             wheel_anomaly=anomaly, tracked=tracked, cost=cost,
             rebooted=rebooted,
+            ba=np.asarray(self.state.ba[idx]),
+            bg=np.asarray(self.state.bg[idx]),
         )
 
     def _reboot(self):

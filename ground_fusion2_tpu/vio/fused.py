@@ -116,9 +116,10 @@ class FusedCarry(NamedTuple):
 
 
 class TickRecord(NamedTuple):
-    """Per-tick scalars, unpacked on the host from ONE packed [16] f32
+    """Per-tick scalars, unpacked on the host from ONE packed [23] f32
     vector (a remote-TPU tunnel round trip costs ~25 ms — ten separate
-    scalar readbacks would dominate the tick)."""
+    scalar readbacks would dominate the tick). Carries the latest biases so
+    the host-side IMU-rate propagator (``fast_predict.py``) can rebase."""
 
     p: np.ndarray
     q: np.ndarray
@@ -130,6 +131,8 @@ class TickRecord(NamedTuple):
     tracked: int
     n_alive: int
     parallax: float
+    ba: np.ndarray
+    bg: np.ndarray
 
     @staticmethod
     def unpack(vec: np.ndarray) -> "TickRecord":
@@ -137,7 +140,8 @@ class TickRecord(NamedTuple):
             p=vec[0:3], q=vec[3:7], v=vec[7:10], cost=float(vec[10]),
             is_kf=bool(vec[11] > 0.5), stationary=bool(vec[12] > 0.5),
             anomaly=bool(vec[13] > 0.5), tracked=int(vec[14]),
-            n_alive=int(vec[15]), parallax=float(vec[16]))
+            n_alive=int(vec[15]), parallax=float(vec[16]),
+            ba=vec[17:20], bg=vec[20:23])
 
 
 class FusedStatics(NamedTuple):
@@ -477,6 +481,7 @@ def _solve_tick(c: FusedCarry, obs: fwin.FrameObs,
         c.state.p[col], c.state.q[col], c.state.v[col],
         jnp.stack([f32(out.cost), f32(is_kf), f32(stationary), f32(anomaly),
                    jnp.sum(c.fw.track_valid), jnp.sum(obs.alive), f32(par)]),
+        c.state.ba[col], c.state.bg[col],
     ])
     return c, rec
 
@@ -653,6 +658,7 @@ class FusedVio:
         self._inflight = None      # (t, rec_device) awaiting readback
         self.legacy = VioEstimator(cfg, tic=tic, ric=ric, tio=tio, rio=rio)
         self.tracker = FeatureTracker(tracker_cfg, cam)
+        self._last_tick_args = None   # device-time instrumentation
         self.layout = self.legacy.layout
         self.statics = FusedStatics(
             levels=tracker_cfg.levels, half_patch=tracker_cfg.half_patch,
@@ -677,6 +683,9 @@ class FusedVio:
         # f64 numpy at epoch rate — the device consumes prereduced rows)
         self._last_p = np.zeros(3, np.float32)
         self.gnss_refine_left = 0
+        self._gnss_tick_count = 0
+        self._gnss_anchor_p0 = np.zeros(3)   # local p at last anchor refresh
+        self._gnss_vel_pairs: list = []      # rolling yaw re-alignment pairs
         if cfg.use_gnss:
             from ..gnss.factors import GnssQualityFilter
             self.gnss_filter = GnssQualityFilter(
@@ -796,7 +805,7 @@ class FusedVio:
             t=t, p=rec.p, q=rec.q, v=rec.v, initialized=True,
             is_keyframe=rec.is_kf, stationary=rec.stationary,
             wheel_anomaly=rec.anomaly, tracked=rec.tracked,
-            cost=rec.cost, rebooted=False)
+            cost=rec.cost, rebooted=False, ba=rec.ba, bg=rec.bg)
         if (self.cfg.allow_reboot
                 and rec.n_alive < self.cfg.min_tracked_reboot
                 and self.carry is not None):
@@ -828,6 +837,42 @@ class FusedVio:
         initialized — whether the state lives in the legacy object or has
         moved into the device carry)."""
         return self.carry is not None or self.legacy.initialized
+
+    # -- device-time instrumentation (bench.py breakdown) ---------------
+    def device_replay(self, n: int = 10) -> float:
+        """Seconds per DEVICE step: re-dispatch the compiled tick ``n``
+        times back-to-back on the last frame's packed buffer with one final
+        block — enqueueing outruns execution, so per-tick time converges to
+        the device step, excluding the per-tick host pack + tunnel readback
+        the wall-clock tick also pays."""
+        import time as _time
+        assert self.carry is not None and self._last_tick_args is not None
+        statics, h, w, hd, wd, buf, dyn_mask, pg, pd = self._last_tick_args
+        cc = self.carry
+        cc, rec, _, _ = _camera_tick(
+            self.layout, statics, cc, h, w, hd, wd, buf, dyn_mask,
+            self.cam, self._imu_noise_dev, self._wheel_noise_dev, pg, pd)
+        jax.block_until_ready(rec)
+        t0 = _time.perf_counter()
+        for _ in range(n):
+            cc, rec, _, _ = _camera_tick(
+                self.layout, statics, cc, h, w, hd, wd, buf, dyn_mask,
+                self.cam, self._imu_noise_dev, self._wheel_noise_dev, pg, pd)
+        jax.block_until_ready(rec)
+        return (_time.perf_counter() - t0) / n
+
+    def device_cost(self) -> dict:
+        """XLA cost analysis (flops/bytes estimates) of the compiled tick."""
+        assert self.carry is not None and self._last_tick_args is not None
+        statics, h, w, hd, wd, buf, dyn_mask, pg, pd = self._last_tick_args
+        lowered = _camera_tick.lower(
+            self.layout, statics, self.carry, h, w, hd, wd,
+            jnp.asarray(buf), dyn_mask,
+            self.cam, self._imu_noise_dev, self._wheel_noise_dev, pg, pd)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):   # older jax returns [dict]
+            ca = ca[0] if ca else {}
+        return dict(ca) if ca else {}
 
     def flush(self) -> VioOutput | None:
         """Drain the pipelined in-flight record (call at sequence end)."""
@@ -876,6 +921,69 @@ class FusedVio:
         return mask
 
     # ------------------------------------------------------------------
+    def _gnss_yaw_pair(self, gnss_meas):
+        """Accumulate one (v_local, v_enu) velocity-matching pair from a
+        ready epoch (host f64 SPP at epoch rate — cheap)."""
+        from ..gnss.frames import ecef2rotation
+        from ..gnss.spp import spp_position, spp_velocity
+        cfg = self.cfg
+        if np.linalg.norm(self._last_v[:2]) < cfg.gnss_align_min_speed:
+            return
+        pos, _, ok = spp_position(gnss_meas)
+        if not ok:
+            return
+        vel, _, ok = spp_velocity(gnss_meas, pos)
+        if not ok:
+            return
+        v_enu = ecef2rotation(pos) @ vel
+        if np.linalg.norm(v_enu[:2]) < cfg.gnss_align_min_speed:
+            return
+        self._gnss_vel_pairs.append(
+            (np.asarray(self._last_v[:2], np.float64).copy(),
+             v_enu[:2].copy()))
+        if len(self._gnss_vel_pairs) > 60:
+            self._gnss_vel_pairs = self._gnss_vel_pairs[-60:]
+
+    def _gnss_refine_yaw(self):
+        """Periodic yaw re-alignment from the rolling velocity pairs (the
+        reference's yaw_alignment velocity matching,
+        ``gnss_vi_initializer.h:25-28``) — robust where in-window yaw
+        refinement is not."""
+        if len(self._gnss_vel_pairs) < 10:
+            return
+        num = den = 0.0
+        for vl, ve in self._gnss_vel_pairs:
+            num += vl[0] * ve[1] - vl[1] * ve[0]
+            den += float(vl @ ve)
+        yaw = float(np.arctan2(num, den))
+        self.carry = self.carry._replace(
+            state=self.carry.state._replace(
+                gyaw=jnp.asarray(yaw, jnp.float32)))
+
+    def _gnss_refresh_anchor(self):
+        """Move the prereduction anchor to the current receiver position
+        (VERDICT r4 item 8): the anchor-relative range linearization error
+        grows as |p|²/2ρ, so over km-scale runs the anchor must follow the
+        rover (the reference re-runs anchor refinement in-window;
+        ``estimator.cpp:1989-2104``). The carried window rows were reduced
+        against the OLD anchor — their validity is cleared and fresh rows
+        refill within a window length (~1 s)."""
+        from ..gnss.frames import ecef2rotation
+        lg = self.legacy
+        st = self.carry.state
+        yaw = float(np.asarray(st.gyaw))
+        ganc = np.asarray(st.ganchor, np.float64)
+        c, s = np.cos(yaw), np.sin(yaw)
+        Rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        d_enu = Rz @ np.asarray(self._last_p, np.float64) + ganc
+        R = ecef2rotation(lg.gnss_anchor)          # ECEF -> ENU at anchor
+        lg.gnss_anchor = np.asarray(lg.gnss_anchor, np.float64) + R.T @ d_enu
+        g = self.carry.gnss
+        self.carry = self.carry._replace(
+            state=st._replace(ganchor=jnp.asarray(ganc - d_enu, jnp.float32)),
+            gnss=g._replace(valid=jnp.zeros_like(g.valid)))
+        self._gnss_anchor_p0 = np.asarray(self._last_p, np.float64).copy()
+
     def _gnss_tick_inputs(self, gnss_meas):
         """Host-side GNSS work for one fused tick: quality-filter the
         epoch, keep trying SPP alignment until ready (using the latest
@@ -907,6 +1015,25 @@ class FusedVio:
                 self.carry = self.carry._replace(
                     state=self.carry.state._replace(
                         gyaw=jnp.asarray(yaw, jnp.float32)))
+        if lg.gnss_ready:
+            self._gnss_tick_count += 1
+            # anchor follows the rover on long runs; displacement is
+            # measured from the LAST refresh point (|p| from the local
+            # origin would keep firing every tick once past the bound)
+            if (cfg.gnss_anchor_refresh_m > 0
+                    and np.linalg.norm(self._last_p - self._gnss_anchor_p0)
+                    > cfg.gnss_anchor_refresh_m):
+                self._gnss_refresh_anchor()
+            # rolling velocity-matching pairs for periodic yaw
+            # re-alignment (the r4 one-shot alignment froze yaw forever;
+            # freeing yaw in-window instead proved weakly observable — a
+            # 2 s window arc vs metre pseudoranges random-walks it)
+            if gnss_meas and len(gnss_meas) >= 5:
+                self._gnss_yaw_pair(gnss_meas)
+            if (cfg.gnss_refine_period_ticks > 0
+                    and self._gnss_tick_count
+                    % cfg.gnss_refine_period_ticks == 0):
+                self._gnss_refine_yaw()
         if gnss_meas and lg.gnss_anchor is not None:
             from ..gnss.factors import prepare_frame_obs
             row = pack_gnss_row(*prepare_frame_obs(gnss_meas,
@@ -983,6 +1110,8 @@ class FusedVio:
         buf = pack_frame(img_u8, depth_lo, accp, gyrp, wvlp, dtp, smp,
                          t, col, full, gnss_row=gnss_row, gnss_on=gnss_on,
                          relmo=relmo)
+        self._last_tick_args = (statics, h, w, hd, wd, buf, dyn_mask,
+                                prev_g, prev_d)
         self.carry, rec, g_lo, d_lo = _camera_tick(
             self.layout, statics, self.carry, h, w, hd, wd,
             buf, dyn_mask,

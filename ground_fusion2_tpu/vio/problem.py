@@ -42,6 +42,11 @@ class VioConfig(NamedTuple):
     estimate_extrinsic: bool = False
     extrinsic_type: int = 0           # reference m3dgr.yaml:41-45 (3 = no z)
     estimate_td: bool = False
+    # online wheel calibration (reference ESTIMATE_INTRINSIC_WHEEL /
+    # ESTIMATE_EXTRINSIC_WHEEL, parameters.h:32, estimator.cpp:2387-2598)
+    estimate_wheel_intrinsic: bool = False
+    estimate_wheel_extrinsic: bool = False
+    wheel_extrinsic_type: int = 3     # reference extrinsic_type_wheel
     use_gnss: bool = False
     refine_gnss_alignment: bool = False   # anchor free (during VI align)
     refine_gnss_yaw: bool = False         # yaw free (observability caveat:
@@ -164,7 +169,11 @@ def solve_window(
     free = layout.free_mask(
         fix_extrinsic=not cfg.estimate_extrinsic,
         fix_td=not cfg.estimate_td,
-        fix_wheel=True,
+        fix_wheel_intrinsic=not (cfg.use_wheel
+                                 and cfg.estimate_wheel_intrinsic),
+        fix_wheel_extrinsic=not (cfg.use_wheel
+                                 and cfg.estimate_wheel_extrinsic),
+        wheel_extrinsic_type=cfg.wheel_extrinsic_type,
         landmark_mask=landmark_mask,
         frame_mask=frame_mask,
         fix_first_pose=False,
@@ -223,7 +232,11 @@ def marginalize_oldest(
     fixed = layout.free_mask(
         fix_extrinsic=not cfg.estimate_extrinsic,
         fix_td=not cfg.estimate_td,
-        fix_wheel=True,
+        fix_wheel_intrinsic=not (cfg.use_wheel
+                                 and cfg.estimate_wheel_intrinsic),
+        fix_wheel_extrinsic=not (cfg.use_wheel
+                                 and cfg.estimate_wheel_extrinsic),
+        wheel_extrinsic_type=cfg.wheel_extrinsic_type,
         use_gnss=cfg.use_gnss,
         fix_yaw=True, fix_anchor=True,
         extrinsic_type=cfg.extrinsic_type)

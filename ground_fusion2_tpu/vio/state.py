@@ -220,6 +220,9 @@ class WindowLayout:
         fix_extrinsic: bool = True,
         fix_td: bool = True,
         fix_wheel: bool = True,
+        fix_wheel_intrinsic: bool | None = None,
+        fix_wheel_extrinsic: bool | None = None,
+        wheel_extrinsic_type: int = 3,
         landmark_mask: jax.Array | None = None,
         frame_mask: jax.Array | None = None,
         fix_first_pose: bool = False,
@@ -255,8 +258,29 @@ class WindowLayout:
                 m[self.cam_off + 2:self.cam_off + 6] = 0
         if fix_td:
             m[self.td_off] = 0
-        if fix_wheel:
-            m[self.wext_off:self.wint_off + 3] = 0
+        # wheel calibration states: split intrinsic (sx sy sw, reference
+        # ESTIMATE_INTRINSIC_WHEEL) from extrinsic (t_io q_io, reference
+        # ESTIMATE_EXTRINSIC_WHEEL, estimator.cpp:2387-2598); ``fix_wheel``
+        # is the both-together default
+        fwe = fix_wheel if fix_wheel_extrinsic is None else fix_wheel_extrinsic
+        fwi = fix_wheel if fix_wheel_intrinsic is None else fix_wheel_intrinsic
+        if fwe:
+            m[self.wext_off:self.wext_off + 6] = 0
+        else:
+            # subset per WHEEL_EXT_ADJ_TYPE (reference extrinsic_type_wheel,
+            # parameters.cpp:286-306): same encoding as the camera's
+            # extrinsic_type; default 3 (no z — planar rigs leave the wheel
+            # z-offset unobservable)
+            if wheel_extrinsic_type == 1:      # translation only
+                m[self.wext_off + 3:self.wext_off + 6] = 0
+            elif wheel_extrinsic_type == 2:    # rotation only
+                m[self.wext_off:self.wext_off + 3] = 0
+            elif wheel_extrinsic_type == 3:    # no z
+                m[self.wext_off + 2] = 0
+            elif wheel_extrinsic_type == 4:    # no rotation, no z
+                m[self.wext_off + 2:self.wext_off + 6] = 0
+        if fwi:
+            m[self.wint_off:self.wint_off + 3] = 0
         if fix_cam2:
             m[self.cam2_off:self.cam2_off + 6] = 0
         if not use_gnss:

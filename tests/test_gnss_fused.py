@@ -71,3 +71,75 @@ def test_gnss_fused_alignment_recovers_yaw():
     assert est.legacy.gnss_ready, "GNSS-VI alignment never completed"
     yaw_est = float(np.asarray(est.carry.state.gyaw))
     assert abs(yaw_est - yaw_true) < 0.05, yaw_est
+
+
+@pytest.mark.slow
+def test_gnss_long_run_outage_reacquire():
+    """Long-run hardening e2e (VERDICT r4 item 8): >=200 m of travel with
+    the anchor-refresh bound pulled down to 60 m (>=2 refreshes), a 10 s
+    GNSS outage mid-run, and re-acquisition — absolute error must stay
+    bounded across the outage and the anchor must actually move."""
+    from ground_fusion2_tpu.vio.estimator import EstimatorConfig
+    from ground_fusion2_tpu.vio.fused import FusedVio
+
+    captured = {}
+    orig_init = FusedVio.__init__
+
+    def patched(self, *a, **k):
+        orig_init(self, *a, **k)
+        captured["est"] = self
+
+    anchors = []
+    orig_refresh = FusedVio._gnss_refresh_anchor
+
+    def refresh_logged(self):
+        anchors.append(np.asarray(self.legacy.gnss_anchor).copy())
+        orig_refresh(self)
+
+    FusedVio.__init__ = patched
+    FusedVio._gnss_refresh_anchor = refresh_logged
+    cfg = EstimatorConfig(num_feats=96, use_gnss=True,
+                          gnss_anchor_refresh_m=40.0,
+                          gnss_refine_period_ticks=100)
+    # ground robot: the planar prior pins z, which GNSS constrains weakly
+    # (satellites overhead) — without it z drifts metres over 100 s
+    cfg.vio = cfg.vio._replace(use_plane=True)
+    try:
+        res = run_synthetic_sequence(
+            duration=100.0, speed=2.5, yaw_rate=0.05, frame_rate=5.0,
+            pix_noise=0.3 / 460.0, use_gnss=True, gnss_yaw=0.2,
+            gnss_outage=(40.0, 50.0), seed=11, fused=True, cfg=cfg,
+            num_landmarks=3000)   # ~240 m path needs along-path density
+    finally:
+        FusedVio.__init__ = orig_init
+        FusedVio._gnss_refresh_anchor = orig_refresh
+
+    est = captured["est"]
+    assert est.legacy.gnss_ready
+    path_len = np.sum(np.linalg.norm(np.diff(res.gt_p, axis=0), axis=1))
+    assert path_len > 200.0, path_len
+    assert len(anchors) >= 2, "anchor never refreshed"
+
+    init = [i for i, o in enumerate(res.outputs)
+            if o is not None and o.initialized]
+    s = init[0]
+    err = np.linalg.norm(res.est_p[s:] - res.gt_p[s:], axis=1)
+    t = res.t[s:]
+    # bounded absolute error THROUGH the outage and after re-acquire:
+    # with 0.7 m psr noise and a 0.02 rad-class initial yaw the absolute
+    # class is metres — the gate is BOUNDEDNESS, not the noise floor
+    pre = err[(t > 35) & (t < 40)]
+    out = err[(t > 45) & (t < 50)]
+    post = err[t > 60]
+    late = err[t > 85]
+    # the gate is BOUNDEDNESS through alignment + outage + re-acquire on a
+    # 250 m run with 0.7 m psr noise: a dead-reckoning run diverges with
+    # distance, this must not
+    assert pre.max() < 3.5, f"pre-outage drifted: {pre.max():.2f}"
+    assert out.max() < 7.0, f"outage unbounded: {out.max():.2f}"
+    assert post.max() < 7.0, f"post-reacquire unbounded: {post.max():.2f}"
+    # re-acquisition stabilizes: the tail stops growing
+    assert late.mean() < post.max() + 0.2
+    # yaw alignment survives the whole run (periodic refinement active)
+    yaw_est = float(np.asarray(est.carry.state.gyaw))
+    assert abs(yaw_est - 0.2) < 0.1, yaw_est
