@@ -223,6 +223,8 @@ def replay_m3dgr_log(
     use_loop: bool = False,
     use_gnss: bool = False,
     use_global: bool = False,
+    mesh_every: int = 1,
+    loop_optimize_min_gap: int = 1,
 ) -> ReplayResult:
     """Replay a log through the complete pipeline; returns trajectories.
 
@@ -232,7 +234,11 @@ def replay_m3dgr_log(
     textured mesh at the end. ``use_loop`` wires the dense_map pose-graph
     analog (keyframe images feed BRIEF place recognition); ``use_gnss``
     consumes REC_GNSS epochs into the tightly-coupled window; ``use_global``
-    feeds SPP fixes as global-fusion anchors (globalOpt.cpp)."""
+    feeds SPP fixes as global-fusion anchors (globalOpt.cpp).
+    ``mesh_every``: feed the mesher every Nth sweep — the reconstruction
+    is the dominant CPU cost at campaign scale and mapping density is not
+    an ATE input (the reference's meshing thread similarly lags behind
+    the odometry when loaded, README.md:237)."""
     import jax.numpy as jnp
 
     from ..frontend.tracker import FeatureTracker, TrackerConfig
@@ -269,6 +275,8 @@ def replay_m3dgr_log(
                                    use_loop_closure=use_loop,
                                    use_global_fusion=use_global,
                                    mesh_drain_every=mesh_drain_every,
+                                   mesh_every=mesh_every,
+                                   loop_optimize_min_gap=loop_optimize_min_gap,
                                    cam_intr=(raw_cam["fx"], raw_cam["fy"],
                                              raw_cam["cx"], raw_cam["cy"]),
                                    mesh_intrinsics=(
@@ -381,7 +389,8 @@ def replay_m3dgr_log(
             if i1 <= lid_last_idx:
                 continue
             mesh_kwargs = {}
-            if use_mesh and pend_img is not None and gf.latest_vio is not None \
+            if use_mesh and pend_img is not None \
+                    and gf.latest_vio is not None \
                     and gf.latest_vio.initialized:
                 # texture camera pose = latest VIO body pose o cam extrinsic
                 from ..core import lie as _lie

@@ -244,7 +244,10 @@ def run_scenario(name: str, workdir: str,
         use_mesh=full_stack, use_occupancy=full_stack,
         use_loop=full_stack, use_gnss=spec.use_gnss,
         use_global=full_stack and spec.use_gnss,
-        mesh_drain_every=8)
+        # campaign-scale cost control: mesh fed every 4th sweep with
+        # batched retriangulation; loop optimizations batched per 10
+        # keyframes (mapping density / republish cadence, not ATE inputs)
+        mesh_every=4, mesh_drain_every=24, loop_optimize_min_gap=10)
     row = {"scenario": name, "taxonomy": spec.taxonomy,
            "duration_s": spec.duration,
            "frames": len(res.outputs), "switches": res.n_switches}

@@ -58,6 +58,11 @@ class SystemConfig:
     use_loop_closure: bool = False
     pose_graph: object | None = None          # PoseGraphConfig
     load_pose_graph: str | None = None        # relocalization source
+    loop_optimize_min_gap: int = 1            # keyframes between 4-DoF
+                                              # optimizations (the reference
+                                              # batches loops in a separate
+                                              # optimize thread,
+                                              # pose_graph.cpp:529)
     # global fusion (global_fusion analog)
     use_global_fusion: bool = False
     global_every: int = 5                     # optimize cycle in keyframes
@@ -67,6 +72,12 @@ class SystemConfig:
     mesh: object | None = None                # MeshConfig
     mesh_intrinsics: tuple | None = None      # (fx, fy, cx, cy) for texture
     mesh_drain_every: int = 1                 # retriangulation cadence
+    mesh_every: int = 1                       # feed every Nth sweep (the
+                                              # reference's meshing thread
+                                              # similarly lags behind the
+                                              # odometry when loaded,
+                                              # README.md:237; mapping
+                                              # density is not an ATE input)
     # 2D occupancy grid (support_files/grid_mapping; prior-map load =
     # LOAD_GRID_MAP, pose_graph_node.cpp:861-900)
     use_occupancy_grid: bool = False
@@ -124,6 +135,9 @@ class GroundFusion:
         self.gfusion = None
         self.mesher = None
         self._n_keyframes = 0
+        self._n_sweeps = 0
+        self._pending_loop = None
+        self._last_loop_opt_kf = -10**9
         if cfg.use_loop_closure:
             from .posegraph.pose_graph import PoseGraph, PoseGraphConfig
             pg_cfg = cfg.pose_graph or PoseGraphConfig(
@@ -324,8 +338,15 @@ class GroundFusion:
                 loop = self.pg.detect_loop(i)
                 if loop is not None:
                     j, _, _ = loop
+                    self._pending_loop = (j, i)
+                if self._pending_loop is not None and \
+                        self._n_keyframes - self._last_loop_opt_kf \
+                        >= self.cfg.loop_optimize_min_gap:
+                    j, i2 = self._pending_loop
                     self.pg.optimize()
-                    tm.event(t, f"loop_closed_{j}_{i}")
+                    tm.event(t, f"loop_closed_{j}_{i2}")
+                    self._pending_loop = None
+                    self._last_loop_opt_kf = self._n_keyframes
         if self.gfusion is not None:
             self.gfusion.input_odom(out.p, out.q)
             idx = self.gfusion.n - 1
@@ -374,7 +395,9 @@ class GroundFusion:
             p_w, m = self.lio.last_cloud
             self.occ_grid.update(np.asarray(out.p_fused)[:2],
                                  np.asarray(p_w), np.asarray(m) > 0.5)
-        if self.mesher is not None and self.lio.last_cloud is not None:
+        self._n_sweeps += 1
+        if self.mesher is not None and self.lio.last_cloud is not None \
+                and (self._n_sweeps - 1) % self.cfg.mesh_every == 0:
             p_w, m = self.lio.last_cloud
             kwargs = {}
             if img is not None and cam_pose_world is not None:

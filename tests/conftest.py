@@ -36,10 +36,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+CAMPAIGN_MODE = bool(os.environ.get("GF2_CAMPAIGN_TESTS"))
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: runs on the real TPU (GF2_TPU_TESTS=1, -m tpu)")
     config.addinivalue_line("markers", "slow: long-running e2e test")
+    config.addinivalue_line(
+        "markers",
+        "campaign: full-scale (60-180 s) degraded-scenario replays — "
+        "tens of minutes each on a 2-core host; opt in with "
+        "GF2_CAMPAIGN_TESTS=1, or gate via `python tools/run_scenarios.py` "
+        "(one command, nonzero exit on any scenario-gate failure)")
 
 
 def pytest_collection_modifyitems(config, items):
@@ -47,12 +56,17 @@ def pytest_collection_modifyitems(config, items):
         reason="TPU tests need GF2_TPU_TESTS=1 (and the axon device)")
     skip_cpu = pytest.mark.skip(
         reason="CPU-suite test skipped in GF2_TPU_TESTS mode")
+    skip_campaign = pytest.mark.skip(
+        reason="campaign replays need GF2_CAMPAIGN_TESTS=1 "
+               "(or run tools/run_scenarios.py)")
     for item in items:
         has_tpu = "tpu" in item.keywords
         if has_tpu and not TPU_MODE:
             item.add_marker(skip_tpu)
         if not has_tpu and TPU_MODE:
             item.add_marker(skip_cpu)
+        if "campaign" in item.keywords and not CAMPAIGN_MODE:
+            item.add_marker(skip_campaign)
 
 
 @pytest.fixture

@@ -15,8 +15,14 @@ from ground_fusion2_tpu.data.scenarios import SCENARIOS, run_scenario
 
 
 @pytest.fixture(scope="module")
-def workdir(tmp_path_factory):
-    return str(tmp_path_factory.mktemp("campaign"))
+def workdir():
+    # persistent render cache: the 60-180 s ray-traced logs are minutes
+    # each to generate; the spec digest in the filename invalidates them
+    # on any generation-spec change (thresholds don't re-render)
+    import os
+    d = os.environ.get("GF2_CAMPAIGN_CACHE", "/root/.gf2_campaign_cache")
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def _run(name, workdir):
@@ -31,6 +37,7 @@ def _run(name, workdir):
     return row
 
 
+@pytest.mark.campaign
 @pytest.mark.slow
 def test_scenario_nominal(workdir):
     row = _run("nominal", workdir)
@@ -38,6 +45,7 @@ def test_scenario_nominal(workdir):
     assert row["ate_fused"] < 0.3, row
 
 
+@pytest.mark.campaign
 @pytest.mark.slow
 def test_scenario_corridor(workdir):
     """LiDAR degeneracy + recovery: the switch must fire (to VIO inside the
@@ -47,21 +55,25 @@ def test_scenario_corridor(workdir):
     assert row["switches"] >= 2, row
 
 
+@pytest.mark.campaign
 @pytest.mark.slow
 def test_scenario_dark(workdir):
     _run("dark", workdir)
 
 
+@pytest.mark.campaign
 @pytest.mark.slow
 def test_scenario_dynamic(workdir):
     _run("dynamic", workdir)
 
 
+@pytest.mark.campaign
 @pytest.mark.slow
 def test_scenario_stationary(workdir):
     _run("stationary", workdir)
 
 
+@pytest.mark.campaign
 @pytest.mark.slow
 def test_scenario_gnss_outage(workdir):
     row = _run("gnss_outage", workdir)

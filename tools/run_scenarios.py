@@ -25,6 +25,11 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir")
+    ap.add_argument("--tpu", action="store_true",
+                    help="keep the default (TPU) platform; by default the "
+                         "campaign runs on CPU — the replay is many small "
+                         "dispatches and a remote-tunnel TPU pays ~25 ms "
+                         "latency per dispatch")
     ap.add_argument("--scenario", default=None,
                     help="run one scenario (default: all)")
     ap.add_argument("--config", default="configs/m3dgr.yaml")
@@ -35,6 +40,14 @@ def main():
     ap.add_argument("--fresh", action="store_true",
                     help="re-render logs even if cached")
     args = ap.parse_args()
+
+    import jax
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: ~90 s of XLA compiles on the first run
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_campaign")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from ground_fusion2_tpu.data.scenarios import SCENARIOS, run_scenario
 
