@@ -80,8 +80,15 @@ class Rect:
 
 
 def make_room_scene(x=(-10.0, 10.0), y=(-6.0, 6.0), h: float = 3.0,
-                    seed: int = 0, n_boxes: int = 6) -> list[Rect]:
-    """Closed textured room with a few boxes scattered on the floor."""
+                    seed: int = 0, n_boxes: int = 6,
+                    keep_clear=None, clear_radius: float = 1.4) -> list[Rect]:
+    """Closed textured room with a few boxes scattered on the floor.
+
+    ``keep_clear``: [N, 2] xy polyline (e.g. the planned trajectory) —
+    boxes within ``clear_radius`` of it are not placed. The trajectory
+    generator does not avoid obstacles, and a camera that drives INTO a
+    box renders a featureless frame -> tracking collapse (found by the
+    60 s campaign nominal run)."""
     x0, x1 = x
     y0, y1 = y
     rng = np.random.default_rng(seed)
@@ -100,6 +107,10 @@ def make_room_scene(x=(-10.0, 10.0), y=(-6.0, 6.0), h: float = 3.0,
         cy = rng.uniform(y0 + 1.5, y1 - 1.5)
         if abs(cx) < 2.5 and abs(cy) < 2.5:
             continue  # keep the spawn area clear
+        if keep_clear is not None and float(np.min(
+                np.hypot(keep_clear[:, 0] - cx,
+                         keep_clear[:, 1] - cy))) < clear_radius:
+            continue  # keep the driven corridor clear
         w = rng.uniform(0.4, 1.2)
         d = rng.uniform(0.4, 1.2)
         bh = rng.uniform(0.5, 1.8)

@@ -54,6 +54,9 @@ def rows_to_meas(rows: np.ndarray) -> list[GnssMeas]:
     return out
 
 
+# bump to invalidate cached renders on generator changes
+_GEN_VERSION = 2
+
 # -- scenario specs -------------------------------------------------------
 
 @dataclass
@@ -121,19 +124,32 @@ SCENARIOS: dict[str, ScenarioSpec] = {
 
 
 def _scene_and_lidar(spec: ScenarioSpec, seed: int):
+    # the planned trajectory (same parameters generate_m3dgr_log uses) —
+    # the scene must keep the driven corridor free of boxes, or the
+    # camera renders a featureless frame from inside one
+    traj = sim.make_planar_trajectory(
+        duration=spec.duration, speed=spec.speed, yaw_rate=spec.yaw_rate,
+        wobble=0.02, static_time=1.5, ramp_time=1.0, stops=spec.stops)
+    path_xy = traj.p[::50, :2]
     if spec.scene == "corridor":
-        x, y = (-5.0, 65.0), (-2.2, 2.2)
-        rects = make_room_scene(x=x, y=y, h=3.0, seed=seed, n_boxes=16)
+        # 6 m-wide corridor: boxes can sit against the walls (visual
+        # texture) while the 1.2 m driven corridor stays clear; the side
+        # walls stay parallel -> LiDAR-degenerate along x
+        x, y = (-5.0, 65.0), (-3.0, 3.0)
+        rects = make_room_scene(x=x, y=y, h=3.0, seed=seed, n_boxes=24,
+                                keep_clear=path_xy, clear_radius=1.2)
         lidar = sim.LidarSim.room(x=x, y=y, z=(0.0, 3.0), n_rays=4096,
                                   noise=0.01, seed=seed, max_range=12.0)
     elif spec.scene == "arena":
         x, y = (-16.0, 16.0), (-14.0, 16.0)
-        rects = make_room_scene(x=x, y=y, h=3.5, seed=seed, n_boxes=14)
+        rects = make_room_scene(x=x, y=y, h=3.5, seed=seed, n_boxes=14,
+                                keep_clear=path_xy)
         lidar = sim.LidarSim.room(x=x, y=y, z=(0.0, 3.5), n_rays=4096,
                                   noise=0.01, seed=seed)
     else:
         x, y = (-10.0, 14.0), (-7.0, 7.0)
-        rects = make_room_scene(x=x, y=y, h=3.0, seed=seed)
+        rects = make_room_scene(x=x, y=y, h=3.0, seed=seed,
+                                keep_clear=path_xy)
         lidar = sim.LidarSim.room(x=x, y=y, z=(0.0, 3.0), n_rays=4096,
                                   noise=0.01, seed=seed)
     return rects, lidar
@@ -230,9 +246,10 @@ def run_scenario(name: str, workdir: str,
     # log filename carries a generation-spec digest: a spec change
     # invalidates the cached render, thresholds don't
     import hashlib
-    gen_key = (spec.duration, spec.speed, spec.yaw_rate, spec.stops,
-               spec.scene, spec.dark_spans, spec.dynamic_obj, spec.use_gnss,
-               spec.gnss_outage, spec.gnss_yaw, seed, config_path)
+    gen_key = (_GEN_VERSION, spec.duration, spec.speed, spec.yaw_rate,
+               spec.stops, spec.scene, spec.dark_spans, spec.dynamic_obj,
+               spec.use_gnss, spec.gnss_outage, spec.gnss_yaw, seed,
+               config_path)
     digest = hashlib.md5(repr(gen_key).encode()).hexdigest()[:10]
     log_path = wd / f"{name}_s{seed}_{digest}.gf2log"
     if not (reuse_log and log_path.exists()):
