@@ -6,7 +6,7 @@ TLV format, real m3dgr calibration) and replays every one through the FULL
 fused stack (LVIO + degeneracy switch + loop closure + global fusion + mesh
 + occupancy), emitting a per-scenario ATE/switch table (markdown + JSON).
 
-  python tools/run_scenarios.py out/campaign [--scenario NAME] [--quick]
+  python tools/run_scenarios.py out/campaign [--scenario NAME] [--fresh]
 
 The same rows are CI-gated by tests/test_scenarios.py (slow tier).
 """
