@@ -44,8 +44,13 @@ def main():
     import jax
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
-    # persistent compile cache: ~90 s of XLA compiles on the first run
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_campaign")
+    # persistent compile cache: ~90 s of XLA compiles on the first run.
+    # Overridable so concurrent invocations don't share one cache dir
+    # (round-4's segfault was concurrent access to a shared cache).
+    import os
+    cache_dir = os.environ.get("GF2_CAMPAIGN_CACHE",
+                               "/root/.jax_cache_campaign")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
